@@ -1,0 +1,170 @@
+"""Typed configuration + CLI for sggan_tpu.
+
+Mirrors the reference CLI flag-for-flag (reference: main.py:13-44) so the
+public surface matches, and *wires the dormant flags for real*:
+
+* ``lr`` actually sets the learning rate (the reference overrides it to
+  1e-3 at model.py:82,205);
+* ``epoch_step`` drives linear LR decay (commented out at model.py:223);
+* ``use_lsgan`` selects the LSGAN (MSE) vs sigmoid-CE criterion in the
+  *active* loss path (reference selects it at model.py:64-67 but the train
+  step ignores it, model.py:190-191);
+* ``L1_lambda`` / ``Lg_lambda`` / ``max_size`` feed the full SG-GAN loss and
+  the functional image pool.
+
+Booleans are proper ``--flag/--no-flag`` switches instead of the
+``type=bool`` argparse footgun in the reference.
+
+Extra TPU-native knobs are grouped at the bottom (mesh shape, dtypes,
+loss-mode selection) — these have no reference counterpart.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class Config:
+    # ---- reference flags (main.py:13-44), same names and defaults ----
+    dataset_dir: str = "city"
+    epoch: int = 100
+    epoch_step: int = 100              # epochs before linear LR decay starts
+    batch_size: int = 1
+    train_size: int = int(1e8)
+    image_height: int = 128            # reference default is 64, but the
+    image_width: int = 128             # discriminator stack only works >=128
+    #                                    (see SURVEY §3.4); we default to the
+    #                                    working resolution.
+    ratio_gan2seg: int = 10
+    use_augmentation: bool = True
+    ngf: int = 64
+    ndf: int = 64
+    input_nc: int = 3
+    output_nc: int = 3
+    lr: float = 2e-4
+    beta1: float = 0.5
+    which_direction: str = "AtoB"
+    phase: str = "train"
+    save_freq: int = 1000
+    print_freq: int = 5
+    continue_train: bool = False
+    checkpoint_dir: str = "./checkpoint"
+    sample_dir: str = "./sample"
+    test_dir: str = "./test"
+    L1_lambda: float = 10.0
+    Lg_lambda: float = 5.0
+    use_resnet: bool = False
+    use_lsgan: bool = True
+    use_pix2pix: bool = False
+    max_size: int = 50
+    segment_class: int = 34
+
+    # ---- reference behavioural quirks, made explicit ----
+    # The reference hard-codes lr=1e-3 regardless of --lr (model.py:205-207).
+    # `compat_lr_override=True` reproduces that; False honours --lr + decay.
+    compat_lr_override: bool = True
+    # Keras models in the reference are called without training=True, so
+    # Dropout never fires (model.py:173 etc.).  "intended" enables dropout
+    # during training as the architecture intends; "keras_quirk" reproduces
+    # the reference's silently-disabled dropout.
+    dropout_mode: str = "intended"     # "intended" | "keras_quirk"
+    # Mask grid stride.  The reference is self-contradictory (H/8 at
+    # model.py:97 vs H/34 at module.py:282 vs the loader's ~H/32 zoom at
+    # utils.py:197); we standardize on the paper's stride-8 grid.
+    mask_stride: int = 8
+
+    # ---- loss / trainer mode ----
+    # "p2p"  — the reference's *active* path: BCE GAN + 100·L1 (model.py:149-166)
+    # "sggan" — the full SG-GAN objective the repo carries dormant:
+    #           criterionGAN (LSGAN/SCE) + L1_lambda·L1 + Lg_lambda·gradloss
+    #           with the semantic boundary-weight map (model.py:114-133),
+    #           image pool on the discriminator's fake batch.
+    loss_mode: str = "p2p"
+    data_seed: int = 19                # reference: tf.random.set_seed(19), main.py:4
+
+    # ---- TPU-native knobs (no reference counterpart) ----
+    compute_dtype: str = "bfloat16"    # conv/matmul compute dtype on TPU
+    param_dtype: str = "float32"
+    mesh_data: int = 1                 # data-parallel axis size
+    mesh_space: int = 1                # spatial-sharding axis size (H plane)
+    donate: bool = True                # donate train-state buffers under jit
+    use_pallas: Optional[bool] = None  # None = auto (TPU only)
+    prefetch: int = 2                  # host->device pipeline depth
+    log_dir: str = "logs"
+
+    # ---- derived ----
+    @property
+    def image_size(self) -> Tuple[int, int]:
+        return (self.image_height, self.image_width)
+
+    @property
+    def mask_hw(self) -> Tuple[int, int]:
+        return (self.image_height // self.mask_stride,
+                self.image_width // self.mask_stride)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def _add_bool(p: argparse.ArgumentParser, name: str, default: bool, help: str):
+    p.add_argument(f"--{name}", dest=name, action=argparse.BooleanOptionalAction,
+                   default=default, help=help)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    d = Config()
+    p = argparse.ArgumentParser(
+        description="sggan_tpu — TPU-native SG-GAN (parity with reference main.py)")
+    p.add_argument("--dataset_dir", default=d.dataset_dir, help="path of the dataset")
+    p.add_argument("--epoch", type=int, default=d.epoch, help="# of epoch")
+    p.add_argument("--epoch_step", type=int, default=d.epoch_step, help="# of epoch to decay lr")
+    p.add_argument("--batch_size", type=int, default=d.batch_size, help="# images in batch")
+    p.add_argument("--train_size", type=int, default=d.train_size, help="# images used to train")
+    p.add_argument("--img_height", dest="image_height", type=int, default=d.image_height, help="image height")
+    p.add_argument("--img_width", dest="image_width", type=int, default=d.image_width, help="image width")
+    p.add_argument("--ratio_gan2seg", type=int, default=d.ratio_gan2seg, help="ratio of gan loss to seg loss")
+    _add_bool(p, "use_augmentation", d.use_augmentation, "enable/disable data augmentation")
+    p.add_argument("--ngf", type=int, default=d.ngf, help="# of gen filters in first conv layer")
+    p.add_argument("--ndf", type=int, default=d.ndf, help="# of discri filters in first conv layer")
+    p.add_argument("--input_nc", type=int, default=d.input_nc, help="# of input image channels")
+    p.add_argument("--output_nc", type=int, default=d.output_nc, help="# of output image channels")
+    p.add_argument("--lr", type=float, default=d.lr, help="initial learning rate for adam")
+    p.add_argument("--beta1", type=float, default=d.beta1, help="momentum term of adam")
+    p.add_argument("--which_direction", default=d.which_direction, help="AtoB or BtoA")
+    p.add_argument("--phase", default=d.phase, help="train, test")
+    p.add_argument("--save_freq", type=int, default=d.save_freq, help="save a model every save_freq iterations")
+    p.add_argument("--print_freq", type=int, default=d.print_freq, help="print debug info every print_freq iterations")
+    _add_bool(p, "continue_train", d.continue_train, "continue training from the latest checkpoint")
+    p.add_argument("--checkpoint_dir", default=d.checkpoint_dir, help="models are saved here")
+    p.add_argument("--sample_dir", default=d.sample_dir, help="samples are saved here")
+    p.add_argument("--test_dir", default=d.test_dir, help="test samples are saved here")
+    p.add_argument("--L1_lambda", type=float, default=d.L1_lambda, help="weight on L1 term in objective")
+    p.add_argument("--Lg_lambda", type=float, default=d.Lg_lambda, help="weight on gradloss term in objective")
+    _add_bool(p, "use_resnet", d.use_resnet, "generator network using residual blocks")
+    _add_bool(p, "use_lsgan", d.use_lsgan, "gan loss defined in lsgan")
+    _add_bool(p, "use_pix2pix", d.use_pix2pix, "pix2pix generator and discriminator")
+    p.add_argument("--max_size", type=int, default=d.max_size, help="max size of image pool, 0 disables the pool")
+    p.add_argument("--segment_class", type=int, default=d.segment_class, help="number of segmentation classes")
+    # --- extensions ---
+    _add_bool(p, "compat_lr_override", d.compat_lr_override,
+              "reproduce the reference's hard-coded lr=1e-3 (model.py:205)")
+    p.add_argument("--dropout_mode", default=d.dropout_mode, choices=["intended", "keras_quirk"])
+    p.add_argument("--mask_stride", type=int, default=d.mask_stride)
+    p.add_argument("--loss_mode", default=d.loss_mode, choices=["p2p", "sggan"])
+    p.add_argument("--data_seed", type=int, default=d.data_seed)
+    p.add_argument("--compute_dtype", default=d.compute_dtype, choices=["bfloat16", "float32"])
+    p.add_argument("--mesh_data", type=int, default=d.mesh_data, help="data-parallel mesh axis size")
+    p.add_argument("--mesh_space", type=int, default=d.mesh_space, help="spatial mesh axis size")
+    _add_bool(p, "donate", d.donate, "donate train-state buffers under jit")
+    p.add_argument("--log_dir", default=d.log_dir)
+    return p
+
+
+def parse_args(argv=None) -> Config:
+    ns = build_parser().parse_args(argv)
+    fields = {f.name for f in dataclasses.fields(Config)}
+    return Config(**{k: v for k, v in vars(ns).items() if k in fields})

@@ -1,0 +1,177 @@
+"""Core layer ops with TF/Keras semantics parity, as pure JAX functions.
+
+Every op is a pair (init, apply): ``*_init(key, ...) -> params pytree`` and
+a pure apply function.  Weight layouts follow TF so that TF checkpoints map
+1:1 and numerics can be compared directly:
+
+* conv kernels are HWIO ``(kh, kw, cin, cout)`` — TF ``Conv2D`` layout;
+* transposed-conv kernels are ``(kh, kw, cout, cin)`` — TF
+  ``Conv2DTranspose`` layout; the op itself is the *gradient of a forward
+  conv*, exactly TF's ``conv2d_backprop_input`` semantics
+  (``lax.conv_transpose(..., transpose_kernel=True)``).
+
+Defaults match Keras: ``glorot_uniform`` kernels + zero bias for plain
+convs (reference module.py:137 etc. use Keras defaults) and
+``RandomNormal(0, 0.02)`` for the pix2pix nets (reference module.py:15,30).
+``leaky_relu`` defaults to Keras's alpha=0.3 (NOT the common 0.2) because
+the reference instantiates ``tf.keras.layers.LeakyReLU()`` with defaults
+(module.py:139 etc.).
+
+Dtype policy: convolutions cast inputs/weights to a compute dtype
+(bfloat16 on TPU) and accumulate in float32 on the MXU via
+``preferred_element_type``; activations stay in the compute dtype to keep
+HBM traffic low.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Stride = Union[int, Tuple[int, int]]
+
+_DIMS = ("NHWC", "HWIO", "NHWC")
+
+
+def _pair(s: Stride) -> Tuple[int, int]:
+    return (s, s) if isinstance(s, int) else tuple(s)
+
+
+# ----------------------------------------------------------------------
+# initializers
+# ----------------------------------------------------------------------
+
+def glorot_uniform(key, shape, dtype=jnp.float32):
+    """Keras glorot_uniform.  fan_in/out from the last two axes times the
+    receptive field, matching keras.initializers._compute_fans."""
+    rf = math.prod(shape[:-2]) if len(shape) > 2 else 1
+    fan_in, fan_out = rf * shape[-2], rf * shape[-1]
+    limit = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+def normal_init(stddev: float = 0.02):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.normal(key, shape, dtype) * stddev
+    return init
+
+
+# ----------------------------------------------------------------------
+# conv2d
+# ----------------------------------------------------------------------
+
+def conv2d_init(key, kh: int, kw: int, cin: int, cout: int,
+                use_bias: bool = True, kernel_init=glorot_uniform,
+                dtype=jnp.float32):
+    p = {"w": kernel_init(key, (kh, kw, cin, cout), dtype)}
+    if use_bias:
+        p["b"] = jnp.zeros((cout,), dtype)
+    return p
+
+
+def conv2d(params, x, stride: Stride = 1, padding: str = "SAME",
+           compute_dtype=None):
+    """NHWC conv with TF 'SAME'/'VALID' padding semantics."""
+    cd = compute_dtype or x.dtype
+    w = params["w"]
+    y = lax.conv_general_dilated(
+        x.astype(cd), w.astype(cd), _pair(stride), padding,
+        dimension_numbers=_DIMS, preferred_element_type=jnp.float32)
+    if "b" in params:
+        y = y + params["b"].astype(jnp.float32)
+    return y.astype(cd)
+
+
+# ----------------------------------------------------------------------
+# conv2d_transpose (gradient-of-conv, TF parity)
+# ----------------------------------------------------------------------
+
+def conv2d_transpose_init(key, kh: int, kw: int, cin: int, cout: int,
+                          use_bias: bool = True, kernel_init=glorot_uniform,
+                          dtype=jnp.float32):
+    # TF Conv2DTranspose kernel layout: (kh, kw, out_channels, in_channels)
+    p = {"w": kernel_init(key, (kh, kw, cout, cin), dtype)}
+    if use_bias:
+        p["b"] = jnp.zeros((cout,), dtype)
+    return p
+
+
+def conv2d_transpose(params, x, stride: Stride = 1, padding: str = "SAME",
+                     compute_dtype=None):
+    """TF ``Conv2DTranspose`` semantics: the transpose (gradient) of a
+    forward conv with the given stride/padding.  With 'SAME' the output
+    spatial size is exactly ``in * stride`` (reference relies on this for
+    its u128/u64 upsampling, module.py:254-258)."""
+    cd = compute_dtype or x.dtype
+    w = params["w"]  # (kh, kw, cout, cin) == forward-conv HWIO with I=cout
+    y = lax.conv_transpose(
+        x.astype(cd), w.astype(cd), _pair(stride), padding,
+        dimension_numbers=_DIMS, transpose_kernel=True,
+        preferred_element_type=jnp.float32)
+    if "b" in params:
+        y = y + params["b"].astype(jnp.float32)
+    return y.astype(cd)
+
+
+# ----------------------------------------------------------------------
+# dense (reference ops.py:44-49 'linear' — legacy, kept for completeness)
+# ----------------------------------------------------------------------
+
+def dense_init(key, cin: int, cout: int, use_bias: bool = True,
+               kernel_init=glorot_uniform, dtype=jnp.float32):
+    p = {"w": kernel_init(key, (cin, cout), dtype)}
+    if use_bias:
+        p["b"] = jnp.zeros((cout,), dtype)
+    return p
+
+
+def dense(params, x, compute_dtype=None):
+    cd = compute_dtype or x.dtype
+    y = jnp.dot(x.astype(cd), params["w"].astype(cd),
+                preferred_element_type=jnp.float32)
+    if "b" in params:
+        y = y + params["b"].astype(jnp.float32)
+    return y.astype(cd)
+
+
+# ----------------------------------------------------------------------
+# activations / regularization / padding
+# ----------------------------------------------------------------------
+
+def leaky_relu(x, alpha: float = 0.3):
+    """Keras LeakyReLU default alpha=0.3 (reference module.py:139 etc.)."""
+    return jnp.where(x >= 0, x, (alpha * x).astype(x.dtype))
+
+
+def relu(x):
+    return jnp.maximum(x, 0)
+
+
+def tanh(x):
+    return jnp.tanh(x)
+
+
+def dropout(key, x, rate: float, deterministic: bool):
+    """Inverted dropout (Keras semantics).  The reference's Keras models are
+    called without training=True so their Dropout layers never fire
+    (model.py:173); we expose `deterministic` and let the trainer decide
+    (Config.dropout_mode)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0).astype(x.dtype)
+
+
+def reflect_pad(x, pad: Union[int, Sequence[Tuple[int, int]]]):
+    """tf.pad(..., "REFLECT") on the spatial axes of NHWC
+    (reference module.py:210,230,262; model.py:115)."""
+    if isinstance(pad, int):
+        cfg = [(0, 0), (pad, pad), (pad, pad), (0, 0)]
+    else:
+        cfg = list(pad)
+    return jnp.pad(x, cfg, mode="reflect")

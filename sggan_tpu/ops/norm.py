@@ -1,0 +1,108 @@
+"""Normalization ops.
+
+``instance_norm`` matches tfa.layers.InstanceNormalization (GroupNorm with
+groups=channels): per-sample, per-channel moments over the spatial plane,
+epsilon=1e-3, affine gamma=1/beta=0 (the reference instantiates it with
+defaults 28 times, e.g. module.py:138).  Moments are always computed in
+float32 regardless of the activation dtype.
+
+A fused Pallas TPU kernel (stats + normalize + activation in one
+pallas_call) lives in ``pallas_in.py``; ``instance_norm`` dispatches to it
+on TPU and falls back to the pure-JAX/XLA path elsewhere.  Both produce
+identical numerics (tested in tests/test_pallas.py).
+
+``batch_norm`` matches Keras BatchNormalization (momentum .99, eps 1e-3) as
+used by the pix2pix generator/discriminator (reference module.py:23,39).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+IN_EPS = 1e-3  # tfa GroupNormalization default
+BN_EPS = 1e-3  # Keras BatchNormalization default
+
+
+def instance_norm_init(c: int, dtype=jnp.float32):
+    return {"gamma": jnp.ones((c,), dtype), "beta": jnp.zeros((c,), dtype)}
+
+
+def _instance_norm_xla(x, gamma, beta, eps, act, alpha):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+    y = (xf - mean) * lax.rsqrt(var + eps)
+    y = y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    if act == "relu":
+        y = jnp.maximum(y, 0)
+    elif act == "leaky_relu":
+        y = jnp.where(y >= 0, y, alpha * y)
+    return y.astype(x.dtype)
+
+
+def instance_norm(params, x, eps: float = IN_EPS, act: Optional[str] = None,
+                  alpha: float = 0.3, use_pallas: Optional[bool] = None):
+    """Instance norm with optional fused activation.
+
+    act: None | 'relu' | 'leaky_relu' (alpha = Keras default 0.3).
+    use_pallas: None = auto (TPU only), True/False forces.
+    """
+    gamma, beta = params["gamma"], params["beta"]
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    if use_pallas:
+        try:
+            from .pallas_in import instance_norm_pallas
+            return instance_norm_pallas(x, gamma, beta, eps=eps, act=act,
+                                        alpha=alpha)
+        except ImportError:
+            pass
+    return _instance_norm_xla(x, gamma, beta, eps, act, alpha)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+# ----------------------------------------------------------------------
+# batch norm (pix2pix nets)
+# ----------------------------------------------------------------------
+
+def batch_norm_init(c: int, dtype=jnp.float32):
+    return {
+        "gamma": jnp.ones((c,), dtype), "beta": jnp.zeros((c,), dtype),
+        # non-trainable moving stats, updated by the trainer
+        "moving_mean": jnp.zeros((c,), dtype),
+        "moving_var": jnp.ones((c,), dtype),
+    }
+
+
+def batch_norm(params, x, training: bool, momentum: float = 0.99,
+               eps: float = BN_EPS):
+    """Returns (y, new_params).  In inference mode uses moving stats — this
+    is what the reference actually exercises, since its Keras models are
+    never called with training=True (model.py:173,182-188), so the moving
+    stats stay at init (mean 0, var 1)."""
+    xf = x.astype(jnp.float32)
+    if training:
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2))
+        new = dict(params)
+        new["moving_mean"] = (momentum * params["moving_mean"]
+                              + (1 - momentum) * mean).astype(params["moving_mean"].dtype)
+        new["moving_var"] = (momentum * params["moving_var"]
+                             + (1 - momentum) * var).astype(params["moving_var"].dtype)
+    else:
+        mean = params["moving_mean"].astype(jnp.float32)
+        var = params["moving_var"].astype(jnp.float32)
+        new = params
+    y = (xf - mean) * lax.rsqrt(var + eps)
+    y = y * params["gamma"].astype(jnp.float32) + params["beta"].astype(jnp.float32)
+    return y.astype(x.dtype), new

@@ -1,0 +1,128 @@
+"""Unit tests for the core ops: TF-semantics parity of conv / conv-transpose
+padding, instance norm numerics, depthwise derivative kernels."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sggan_tpu import ops
+
+
+def test_conv_same_shape():
+    key = jax.random.PRNGKey(0)
+    p = ops.conv2d_init(key, 3, 3, 3, 8)
+    x = jnp.ones((2, 17, 23, 3))
+    assert ops.conv2d(p, x, stride=1, padding="SAME").shape == (2, 17, 23, 8)
+    # TF SAME with stride 2: out = ceil(in / 2)
+    assert ops.conv2d(p, x, stride=2, padding="SAME").shape == (2, 9, 12, 8)
+    # VALID stride 2 with k=3: out = floor((in - k) / s) + 1
+    assert ops.conv2d(p, x, stride=2, padding="VALID").shape == (2, 8, 11, 8)
+
+
+def test_conv_valid_matches_manual():
+    # 1x1 input patch dot kernel
+    key = jax.random.PRNGKey(1)
+    w = jax.random.normal(key, (3, 3, 2, 4))
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 3, 2))
+    y = ops.conv2d({"w": w}, x, stride=1, padding="VALID")
+    expect = jnp.einsum("nhwc,hwco->no", x, w)[:, None, None, :]
+    np.testing.assert_allclose(np.asarray(y), np.asarray(expect), rtol=1e-5, atol=1e-5)
+
+
+def test_conv_transpose_is_gradient_of_conv():
+    """TF Conv2DTranspose == gradient of a forward conv wrt its input.
+    Our op must match the vjp of our own conv exactly, for every
+    stride/padding combo the reference uses (module.py:169-202,254-258)."""
+    key = jax.random.PRNGKey(3)
+    for stride, padding, hw in [(2, "SAME", 8), (1, "SAME", 8), (2, "SAME", 7)]:
+        cin, cout = 5, 7
+        # transpose op: cin -> cout; forward conv: cout -> cin
+        w = jax.random.normal(key, (3, 3, cout, cin))  # TF ConvT layout
+        x = jax.random.normal(jax.random.PRNGKey(4), (2, hw, hw, cin))
+        y = ops.conv2d_transpose({"w": w}, x, stride=stride, padding=padding)
+        out_h = hw * stride if padding == "SAME" else None
+        assert y.shape == (2, out_h, out_h, cout)
+
+        # forward conv with the same kernel read as HWIO (I=cout, O=cin)
+        def fwd(a):
+            return jax.lax.conv_general_dilated(
+                a, w, (stride, stride), padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        a0 = jnp.zeros((2, out_h, out_h, cout))
+        _, vjp = jax.vjp(fwd, a0)
+        (expect,) = vjp(x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(expect),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_instance_norm_numerics():
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 6, 7, 3)) * 3 + 1
+    p = ops.instance_norm_init(3)
+    y = ops.instance_norm(p, x, use_pallas=False)
+    xn = np.asarray(x)
+    mean = xn.mean(axis=(1, 2), keepdims=True)
+    var = xn.var(axis=(1, 2), keepdims=True)
+    expect = (xn - mean) / np.sqrt(var + 1e-3)
+    np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-4, atol=1e-4)
+    # affine + fused activation
+    p2 = {"gamma": jnp.full((3,), 2.0), "beta": jnp.full((3,), -0.5)}
+    y2 = ops.instance_norm(p2, x, act="leaky_relu", alpha=0.3, use_pallas=False)
+    e2 = expect * 2.0 - 0.5
+    e2 = np.where(e2 >= 0, e2, 0.3 * e2)
+    np.testing.assert_allclose(np.asarray(y2), e2, rtol=1e-4, atol=1e-4)
+
+
+def test_leaky_relu_keras_default():
+    x = jnp.array([-1.0, 2.0])
+    np.testing.assert_allclose(np.asarray(ops.leaky_relu(x)), [-0.3, 2.0])
+
+
+def test_reflect_pad():
+    x = jnp.arange(16.0).reshape(1, 4, 4, 1)
+    y = ops.reflect_pad(x, 1)
+    assert y.shape == (1, 6, 6, 1)
+    # reflect: row -1 mirrors row 1
+    np.testing.assert_allclose(np.asarray(y[0, 0, 1:5, 0]),
+                               np.asarray(x[0, 1, :, 0]))
+
+
+def test_depthwise_deriv():
+    """Central-difference depthwise conv against a manual stencil."""
+    x = jax.random.normal(jax.random.PRNGKey(6), (1, 8, 8, 2))
+    w = ops.deriv_kernel_diff(2)  # (3,3,2,2)
+    y = ops.depthwise_conv2d(x, w, padding="VALID")
+    assert y.shape == (1, 6, 6, 4)
+    xn = np.asarray(x)
+    # channel 0 of output = dx of input channel 0: x[h, w+1] - x[h, w-1]
+    expect_dx0 = xn[0, 1:7, 2:8, 0] - xn[0, 1:7, 0:6, 0]
+    np.testing.assert_allclose(np.asarray(y[0, :, :, 0]), expect_dx0,
+                               rtol=1e-5, atol=1e-5)
+    # channel 1 = dy of input channel 0: x[h+1, w] - x[h-1, w]
+    expect_dy0 = xn[0, 2:8, 1:7, 0] - xn[0, 0:6, 1:7, 0]
+    np.testing.assert_allclose(np.asarray(y[0, :, :, 1]), expect_dy0,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_seg_boundary_weight():
+    """Boundary map is 1 exactly at class-color boundaries, 0 in the
+    interior (model.py:115-119 semantics)."""
+    seg = np.zeros((1, 8, 8, 3), np.float32)
+    seg[:, :, 4:, :] = 1.0  # vertical boundary between col 3 and 4
+    w = ops.seg_boundary_weight(jnp.asarray(seg))
+    assert w.shape == (1, 8, 8, 1)
+    wn = np.asarray(w[0, :, :, 0])
+    assert (wn[:, 3] == 1).all() and (wn[:, 4] == 1).all()
+    assert (wn[:, :3] == 0).all() and (wn[:, 5:] == 0).all()
+
+
+def test_dropout():
+    key = jax.random.PRNGKey(7)
+    x = jnp.ones((4, 100))
+    y = ops.dropout(key, x, 0.5, deterministic=False)
+    frac = float((np.asarray(y) == 0).mean())
+    assert 0.3 < frac < 0.7
+    kept = np.asarray(y)[np.asarray(y) != 0]
+    np.testing.assert_allclose(kept, 2.0)
+    np.testing.assert_allclose(
+        np.asarray(ops.dropout(key, x, 0.5, deterministic=True)), 1.0)
