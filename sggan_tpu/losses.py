@@ -1,0 +1,126 @@
+"""All loss criterions of the reference, active and dormant, as pure
+functions (reference: module.py:336-351, model.py:114-166).
+
+Active path (what the reference's train_step actually calls regardless of
+flags, model.py:190-191):
+    gen_loss_p2p  = BCE(D(fake), 1) + 100 * L1(seg - fake)
+    disc_loss_p2p = BCE(D(real), 1) + BCE(D(fake), 0)
+
+Dormant-but-intended SG-GAN objective (realized as Config.loss_mode="sggan"):
+    generator_loss     = criterionGAN(D(fake), 1) + L1_lambda * L1(real, fake)
+                         [+ Lg_lambda * gradloss with the semantic
+                          boundary-weight map — the paper's term]
+    discriminator_loss = (criterionGAN(D(real), 1) + criterionGAN(D(pool), 0)) / 2
+    criterionGAN       = mae (LSGAN) if use_lsgan else sce
+
+Everything reduces with jnp.mean over all elements, matching the TF ops.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .ops.deriv import seg_boundary_weight, tf_deriv
+
+
+# ---------------------------------------------------------------- criterions
+
+def abs_criterion(a, b):
+    """L1 — module.py:336-337."""
+    return jnp.mean(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+
+
+def mae_criterion(logits, target):
+    """LSGAN MSE (misnamed 'mae' in the reference) — module.py:340-341."""
+    return jnp.mean(jnp.square(logits.astype(jnp.float32)
+                               - target.astype(jnp.float32)))
+
+
+def sigmoid_ce(logits, labels):
+    """tf.nn.sigmoid_cross_entropy_with_logits, elementwise."""
+    x = logits.astype(jnp.float32)
+    z = labels.astype(jnp.float32)
+    return jnp.maximum(x, 0) - x * z + jnp.log1p(jnp.exp(-jnp.abs(x)))
+
+
+def sce_criterion(logits, labels):
+    """Mean sigmoid CE — module.py:344-345."""
+    return jnp.mean(sigmoid_ce(logits, labels))
+
+
+def bce_from_logits(labels, logits):
+    """tf.keras.losses.BinaryCrossentropy(from_logits=True) — mean sigmoid
+    CE (model.py:150,161)."""
+    return jnp.mean(sigmoid_ce(logits, labels))
+
+
+def gradloss_criterion(in_, target, weight):
+    """Gradient-sensitive semantic loss — module.py:347-351: mean over the
+    boundary-weighted per-pixel mean |(|∇in| - |∇target|)| (Sobel)."""
+    d = jnp.abs(jnp.abs(tf_deriv(in_)) - jnp.abs(tf_deriv(target)))
+    d = jnp.mean(d, axis=-1, keepdims=True)
+    return jnp.mean(weight * d)
+
+
+def criterion_gan(use_lsgan: bool):
+    """model.py:64-67."""
+    return mae_criterion if use_lsgan else sce_criterion
+
+
+# ------------------------------------------------------------- active losses
+
+P2P_LAMBDA = 100.0  # hard-coded in the reference (model.py:151)
+
+
+def gen_loss_p2p(da_fake, fake_a, seg_a):
+    """model.py:149-158."""
+    gan = bce_from_logits(jnp.ones_like(da_fake), da_fake)
+    l1 = jnp.mean(jnp.abs(seg_a.astype(jnp.float32)
+                          - fake_a.astype(jnp.float32)))
+    return gan + P2P_LAMBDA * l1
+
+
+def disc_loss_p2p(da_real, da_fake):
+    """model.py:160-166."""
+    return (bce_from_logits(jnp.ones_like(da_real), da_real)
+            + bce_from_logits(jnp.zeros_like(da_fake), da_fake))
+
+
+# ------------------------------------------------ full SG-GAN objective
+
+def gen_loss_sggan(da_fake, real_a, fake_a, seg_a, *, use_lsgan: bool,
+                   l1_lambda: float, lg_lambda: float):
+    """The dormant generator_loss (model.py:114-124) plus the paper's
+    gradient-sensitive term actually applied (the reference builds
+    weighted_seg_A but never adds the term; BASELINE.json's north star asks
+    for it)."""
+    crit = criterion_gan(use_lsgan)
+    g = crit(da_fake, jnp.ones_like(da_fake))
+    g = g + l1_lambda * abs_criterion(real_a, fake_a)
+    if lg_lambda:
+        w = seg_boundary_weight(seg_a)
+        g = g + lg_lambda * gradloss_criterion(fake_a, real_a, w)
+    return g
+
+
+def disc_loss_sggan(da_real, da_fake_sample, *, use_lsgan: bool):
+    """model.py:126-133."""
+    crit = criterion_gan(use_lsgan)
+    return (crit(da_real, jnp.ones_like(da_real))
+            + crit(da_fake_sample, jnp.zeros_like(da_fake_sample))) / 2.0
+
+
+# ------------------------------------------------------- simple (dormant)
+
+def gen_loss_simple(da_fake, fake_a, seg_a, alpha_recip: float):
+    """model.py:135-140."""
+    gan = sce_criterion(da_fake, jnp.ones_like(da_fake))
+    seg = sce_criterion(fake_a, seg_a)
+    return alpha_recip * gan + seg
+
+
+def disc_loss_simple(da_real, da_fake_sample):
+    """model.py:142-147."""
+    return (sce_criterion(da_real, jnp.ones_like(da_real))
+            + sce_criterion(da_fake_sample, jnp.zeros_like(da_fake_sample)))

@@ -1,0 +1,77 @@
+"""Johnson-style ResNet generator — capability parity with the reference's
+``generator_resnet`` (module.py:219-269), resolution-parametric instead of
+the reference's hard-coded 64x64 input (module.py:225).
+
+Architecture: reflect-pad 3 -> c7s1-ngf -> d(2ngf) -> d(4ngf) ->
+9 residual blocks (reflect-pad 1 + conv3 VALID + IN + relu, twice, identity
+skip; module.py:208-217) -> u(2ngf) -> u(ngf) -> reflect-pad 3 + c7s1-out
+-> tanh.  Instance norm everywhere, Keras-default (glorot) conv init.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import (conv2d, conv2d_init, conv2d_transpose,
+                   conv2d_transpose_init, instance_norm, instance_norm_init,
+                   reflect_pad, tanh)
+
+N_BLOCKS = 9
+
+
+def init(key, ngf: int = 64, input_nc: int = 3, output_nc: int = 3,
+         dtype=jnp.float32):
+    keys = iter(jax.random.split(key, 64))
+    p = {}
+    p["c1"] = conv2d_init(next(keys), 7, 7, input_nc, ngf, dtype=dtype)
+    p["c1_in"] = instance_norm_init(ngf, dtype)
+    p["c2"] = conv2d_init(next(keys), 3, 3, ngf, ngf * 2, dtype=dtype)
+    p["c2_in"] = instance_norm_init(ngf * 2, dtype)
+    p["c3"] = conv2d_init(next(keys), 3, 3, ngf * 2, ngf * 4, dtype=dtype)
+    p["c3_in"] = instance_norm_init(ngf * 4, dtype)
+    for i in range(N_BLOCKS):
+        b = {}
+        b["conv1"] = conv2d_init(next(keys), 3, 3, ngf * 4, ngf * 4, dtype=dtype)
+        b["in1"] = instance_norm_init(ngf * 4, dtype)
+        b["conv2"] = conv2d_init(next(keys), 3, 3, ngf * 4, ngf * 4, dtype=dtype)
+        b["in2"] = instance_norm_init(ngf * 4, dtype)
+        p[f"r{i + 1}"] = b
+    p["d1"] = conv2d_transpose_init(next(keys), 3, 3, ngf * 4, ngf * 2, dtype=dtype)
+    p["d1_in"] = instance_norm_init(ngf * 2, dtype)
+    p["d2"] = conv2d_transpose_init(next(keys), 3, 3, ngf * 2, ngf, dtype=dtype)
+    p["d2_in"] = instance_norm_init(ngf, dtype)
+    p["out"] = conv2d_init(next(keys), 7, 7, ngf, output_nc, dtype=dtype)
+    return p
+
+
+def _res_block(b, x, cd, use_pallas):
+    y = reflect_pad(x, 1)
+    y = conv2d(b["conv1"], y, 1, "VALID", cd)
+    y = instance_norm(b["in1"], y, act="relu", use_pallas=use_pallas)
+    y = reflect_pad(y, 1)
+    y = conv2d(b["conv2"], y, 1, "VALID", cd)
+    y = instance_norm(b["in2"], y, use_pallas=use_pallas)
+    return y + x
+
+
+def apply(params, x, compute_dtype=None, use_pallas=None, rng=None,
+          deterministic=True):
+    """x: (N, H, W, C) with H, W divisible by 4. Returns float32 tanh image."""
+    cd = compute_dtype or x.dtype
+    y = reflect_pad(x.astype(cd), 3)
+    y = conv2d(params["c1"], y, 1, "VALID", cd)
+    y = instance_norm(params["c1_in"], y, act="relu", use_pallas=use_pallas)
+    y = conv2d(params["c2"], y, 2, "SAME", cd)
+    y = instance_norm(params["c2_in"], y, act="relu", use_pallas=use_pallas)
+    y = conv2d(params["c3"], y, 2, "SAME", cd)
+    y = instance_norm(params["c3_in"], y, act="relu", use_pallas=use_pallas)
+    for i in range(N_BLOCKS):
+        y = _res_block(params[f"r{i + 1}"], y, cd, use_pallas)
+    y = conv2d_transpose(params["d1"], y, 2, "SAME", cd)
+    y = instance_norm(params["d1_in"], y, act="relu", use_pallas=use_pallas)
+    y = conv2d_transpose(params["d2"], y, 2, "SAME", cd)
+    y = instance_norm(params["d2_in"], y, act="relu", use_pallas=use_pallas)
+    y = reflect_pad(y, 3)
+    y = conv2d(params["out"], y, 1, "VALID", cd)
+    return tanh(y.astype(jnp.float32))

@@ -1,0 +1,81 @@
+"""The reference's default generator — capability parity with
+``generator_unet`` (module.py:125-206), resolution-parametric instead of the
+hard-coded 128x128 input (module.py:135).
+
+Faithful structural quirks (kept deliberately, they define the net's
+behaviour):
+* every conv/conv-transpose is 3x3 stride 1 "same" — there is NO true
+  down/upsampling; "U-Net" refers only to the additive skip pattern;
+* skips are ADDITIVE (tf.keras.layers.add, module.py:172-199), not concat;
+* activations: LeakyReLU after every encoder IN, relu only after e8 and
+  after the d3/d7 adds; d1/d2/d4/d5/d6 have no post-add activation;
+* dropout 0.5 sits between conv-transpose and IN on d1-d3
+  (module.py:170-181).  The reference never actually enables it because
+  Keras models are called without training=True; `deterministic` exposes
+  the choice (Config.dropout_mode).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import (conv2d, conv2d_init, conv2d_transpose,
+                   conv2d_transpose_init, dropout, instance_norm,
+                   instance_norm_init, leaky_relu, relu, tanh)
+
+DROP_RATE = 0.5
+
+
+def _enc_channels(ngf: int):
+    return [ngf, ngf * 2, ngf * 4, ngf * 8, ngf * 8, ngf * 8, ngf * 8, ngf * 8]
+
+
+def _dec_channels(ngf: int):
+    return [ngf * 8, ngf * 8, ngf * 8, ngf * 8, ngf * 4, ngf * 2, ngf]
+
+
+def init(key, ngf: int = 64, input_nc: int = 3, output_nc: int = 3,
+         dtype=jnp.float32):
+    keys = iter(jax.random.split(key, 40))
+    p = {}
+    cin = input_nc
+    for i, c in enumerate(_enc_channels(ngf), 1):
+        p[f"e{i}"] = conv2d_init(next(keys), 3, 3, cin, c, dtype=dtype)
+        p[f"e{i}_in"] = instance_norm_init(c, dtype)
+        cin = c
+    for i, c in enumerate(_dec_channels(ngf), 1):
+        p[f"d{i}"] = conv2d_transpose_init(next(keys), 3, 3, cin, c, dtype=dtype)
+        p[f"d{i}_in"] = instance_norm_init(c, dtype)
+        cin = c
+    p["d8"] = conv2d_transpose_init(next(keys), 3, 3, cin, output_nc, dtype=dtype)
+    return p
+
+
+def apply(params, x, compute_dtype=None, use_pallas=None, rng=None,
+          deterministic=True):
+    cd = compute_dtype or x.dtype
+    y = x.astype(cd)
+
+    enc = []
+    n_enc = len(_enc_channels(64))
+    for i in range(1, n_enc + 1):
+        y = conv2d(params[f"e{i}"], y, 1, "SAME", cd)
+        act = "relu" if i == n_enc else "leaky_relu"
+        y = instance_norm(params[f"e{i}_in"], y, act=act, use_pallas=use_pallas)
+        enc.append(y)
+
+    drop_keys = (jax.random.split(rng, 3) if rng is not None else [None] * 3)
+    # decoder: d_i adds encoder e_{8-i}
+    for i in range(1, 8):
+        y = conv2d_transpose(params[f"d{i}"], y, 1, "SAME", cd)
+        if i <= 3:
+            det = deterministic or drop_keys[i - 1] is None
+            y = dropout(drop_keys[i - 1] if not det else None, y, DROP_RATE,
+                        deterministic=det)
+        y = instance_norm(params[f"d{i}_in"], y, use_pallas=use_pallas)
+        y = y + enc[7 - i]
+        if i in (3, 7):
+            y = relu(y)
+    y = conv2d_transpose(params["d8"], y, 1, "SAME", cd)
+    return tanh(y.astype(jnp.float32))

@@ -1,0 +1,5 @@
+from .pool import PoolState, pool_init, pool_update
+from .step import TrainState, make_train_step, init_state, lr_schedule
+
+__all__ = ["PoolState", "pool_init", "pool_update", "TrainState",
+           "make_train_step", "init_state", "lr_schedule"]
