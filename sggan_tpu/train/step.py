@@ -1,0 +1,196 @@
+"""Jitted two-optimizer GAN train step.
+
+Reference semantics (model.py:169-200): one generator forward, semantic
+discriminator applied to (seg, mask) for the real branch and (fake, mask)
+for the fake branch, p2p losses, per-net Adam.  Under jit we express the
+two GradientTapes as two `jax.value_and_grad` calls — generator gradients
+flow through a *frozen* discriminator, discriminator gradients see a
+*stop-gradient* fake, exactly matching the tapes' variable partitions.
+
+Differences from the reference, on purpose:
+* the eager shape-dynamic fake-history concat (model.py:175-179) is
+  replaced by the fixed-shape functional image pool (pool.py) in
+  loss_mode="sggan"; loss_mode="p2p" uses the current fake, which is what
+  the reference's losses actually consume;
+* Adam learning rate comes from `lr_schedule` — the reference hard-codes
+  1e-3 (model.py:205) which `Config.compat_lr_override=True` reproduces,
+  otherwise the commented-out linear decay (model.py:223) is honoured;
+* everything is compiled: no per-step host sync, donated state buffers.
+
+Adam epsilon is 1e-7 (Keras default) rather than optax's 1e-8.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .. import losses
+from ..models import (discriminator, discriminator_pix2pix,
+                      generator_pix2pix, generator_resnet, generator_unet)
+from .pool import PoolState, pool_init, pool_update
+
+ADAM_EPS = 1e-7
+
+
+class TrainState(NamedTuple):
+    gen_params: Any
+    gen_bn: Any            # {} for IN models
+    disc_params: Any
+    disc_bn: Any
+    g_opt: Any
+    d_opt: Any
+    pool: PoolState
+    step: jnp.ndarray      # scalar int32
+
+
+def _tx(beta1: float):
+    return optax.scale_by_adam(b1=beta1, b2=0.999, eps=ADAM_EPS)
+
+
+def lr_schedule(cfg, epoch: int) -> float:
+    """Reference model.py:205 (override) / model.py:223 (commented decay)."""
+    if cfg.compat_lr_override:
+        return 1e-3
+    if epoch < cfg.epoch_step:
+        return cfg.lr
+    denom = max(cfg.epoch - cfg.epoch_step, 1)
+    return cfg.lr * (cfg.epoch - epoch) / denom
+
+
+def _dtype(cfg):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
+def init_state(cfg, key) -> TrainState:
+    kg, kd = jax.random.split(key)
+    h, w = cfg.image_height, cfg.image_width
+    if cfg.use_pix2pix:
+        gp, gbn = generator_pix2pix.init(kg, ngf=cfg.ngf,
+                                         input_nc=cfg.input_nc,
+                                         output_nc=cfg.output_nc,
+                                         image_size=h)
+        dp, dbn = discriminator_pix2pix.init(kd, ndf=cfg.ndf,
+                                             input_nc=cfg.input_nc)
+    else:
+        if cfg.use_resnet:
+            gp = generator_resnet.init(kg, ngf=cfg.ngf, input_nc=cfg.input_nc,
+                                       output_nc=cfg.output_nc)
+        else:
+            gp = generator_unet.init(kg, ngf=cfg.ngf, input_nc=cfg.input_nc,
+                                     output_nc=cfg.output_nc)
+        gbn = {}
+        dp = discriminator.init(kd, ndf=cfg.ndf, input_nc=cfg.input_nc,
+                                n_class=cfg.segment_class, image_size=(h, w))
+        dbn = {}
+    tx = _tx(cfg.beta1)
+    pool = pool_init(cfg.max_size if cfg.loss_mode == "sggan" else 1,
+                     (h, w, cfg.output_nc))
+    return TrainState(gp, gbn, dp, dbn, tx.init(gp), tx.init(dp), pool,
+                      jnp.zeros((), jnp.int32))
+
+
+def _gen_fwd(cfg, params, bn, x, rng, deterministic):
+    cd = _dtype(cfg)
+    if cfg.use_pix2pix:
+        y, new_bn = generator_pix2pix.apply(
+            params, bn, x, compute_dtype=cd, rng=rng,
+            deterministic=deterministic, train=not deterministic, ngf=cfg.ngf)
+        return y, new_bn
+    if cfg.use_resnet:
+        return generator_resnet.apply(params, x, compute_dtype=cd), {}
+    return generator_unet.apply(params, x, compute_dtype=cd, rng=rng,
+                                deterministic=deterministic), {}
+
+
+def _disc_fwd(cfg, params, bn, img, mask_or_tar, train):
+    cd = _dtype(cfg)
+    if cfg.use_pix2pix:
+        return discriminator_pix2pix.apply(params, bn, img, mask_or_tar,
+                                           compute_dtype=cd, train=train)
+    return discriminator.apply(params, img, mask_or_tar, compute_dtype=cd), bn
+
+
+def make_train_step(cfg, donate: Optional[bool] = None):
+    """Build the jitted step: (state, batch, lr, rng) -> (state, metrics).
+
+    batch: {"real_a": (B,H,W,3) [0,1] float, "seg_a": (B,H,W,3),
+            "mask_a": (B,hm,wm,n_class)}  (mask unused in pix2pix mode).
+    """
+    deterministic = cfg.dropout_mode == "keras_quirk"
+    bn_train = not deterministic
+    tx = _tx(cfg.beta1)
+
+    def step_fn(state: TrainState, batch, lr, rng):
+        rng_g, rng_pool = jax.random.split(rng)
+        real_a = batch["real_a"].astype(jnp.float32)
+        seg_a = batch["seg_a"].astype(jnp.float32)
+        mask_a = batch.get("mask_a")
+
+        # ---------------- generator loss + grads ----------------
+        def gen_loss_fn(gp, gbn):
+            fake, new_gbn = _gen_fwd(cfg, gp, gbn, real_a, rng_g, deterministic)
+            if cfg.use_pix2pix:
+                da_fake, _ = _disc_fwd(cfg, state.disc_params, state.disc_bn,
+                                       seg_a, fake, train=False)
+            else:
+                da_fake, _ = _disc_fwd(cfg, state.disc_params, state.disc_bn,
+                                       fake, mask_a, train=False)
+            if cfg.loss_mode == "sggan":
+                loss = losses.gen_loss_sggan(
+                    da_fake, real_a, fake, seg_a, use_lsgan=cfg.use_lsgan,
+                    l1_lambda=cfg.L1_lambda, lg_lambda=cfg.Lg_lambda)
+            else:
+                loss = losses.gen_loss_p2p(da_fake, fake, seg_a)
+            return loss, (fake, new_gbn)
+
+        (g_loss, (fake, new_gbn)), g_grads = jax.value_and_grad(
+            gen_loss_fn, has_aux=True)(state.gen_params, state.gen_bn)
+
+        # ---------------- discriminator loss + grads ----------------
+        fake_sg = jax.lax.stop_gradient(fake)
+        if cfg.loss_mode == "sggan" and cfg.max_size > 0:
+            new_pool, fake_for_d = pool_update(state.pool, rng_pool, fake_sg)
+        else:
+            new_pool, fake_for_d = state.pool, fake_sg
+
+        def disc_loss_fn(dp, dbn):
+            if cfg.use_pix2pix:
+                da_real, dbn1 = _disc_fwd(cfg, dp, dbn, seg_a, seg_a,
+                                          train=bn_train)
+                da_fake_s, dbn2 = _disc_fwd(cfg, dp, dbn1, seg_a, fake_for_d,
+                                            train=bn_train)
+            else:
+                da_real, dbn1 = _disc_fwd(cfg, dp, dbn, seg_a, mask_a, False)
+                da_fake_s, dbn2 = _disc_fwd(cfg, dp, dbn1, fake_for_d, mask_a,
+                                            False)
+            if cfg.loss_mode == "sggan":
+                loss = losses.disc_loss_sggan(da_real, da_fake_s,
+                                              use_lsgan=cfg.use_lsgan)
+            else:
+                loss = losses.disc_loss_p2p(da_real, da_fake_s)
+            return loss, dbn2
+
+        (d_loss, new_dbn), d_grads = jax.value_and_grad(
+            disc_loss_fn, has_aux=True)(state.disc_params, state.disc_bn)
+
+        # ---------------- Adam updates ----------------
+        g_upd, g_opt = tx.update(g_grads, state.g_opt, state.gen_params)
+        g_upd = jax.tree.map(lambda u: -lr * u, g_upd)
+        gen_params = optax.apply_updates(state.gen_params, g_upd)
+
+        d_upd, d_opt = tx.update(d_grads, state.d_opt, state.disc_params)
+        d_upd = jax.tree.map(lambda u: -lr * u, d_upd)
+        disc_params = optax.apply_updates(state.disc_params, d_upd)
+
+        new_state = TrainState(gen_params, new_gbn, disc_params, new_dbn,
+                               g_opt, d_opt, new_pool, state.step + 1)
+        metrics = {"gen_loss": g_loss, "disc_loss": d_loss}
+        return new_state, metrics
+
+    donate = cfg.donate if donate is None else donate
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,105 @@
+"""Train-step tests: the jitted step runs, losses fall, pool semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sggan_tpu.config import Config
+from sggan_tpu.train import (init_state, lr_schedule, make_train_step,
+                             pool_init, pool_update)
+
+
+def tiny_cfg(**kw):
+    base = dict(image_height=64, image_width=64, ngf=4, ndf=4,
+                segment_class=8, batch_size=2, max_size=4,
+                compute_dtype="float32")
+    base.update(kw)
+    return Config(**base)
+
+
+def make_batch(cfg, key):
+    k1, k2, k3 = jax.random.split(key, 3)
+    h, w = cfg.image_height, cfg.image_width
+    hm, wm = cfg.mask_hw
+    mask_ids = jax.random.randint(k3, (cfg.batch_size, hm, wm), 0,
+                                  cfg.segment_class)
+    return {
+        "real_a": jax.random.uniform(k1, (cfg.batch_size, h, w, 3)),
+        "seg_a": jax.random.uniform(k2, (cfg.batch_size, h, w, 3)),
+        "mask_a": jax.nn.one_hot(mask_ids, cfg.segment_class),
+    }
+
+
+@pytest.mark.parametrize("mode_kw", [
+    dict(loss_mode="p2p"),                       # reference active path, unet
+    dict(loss_mode="sggan", use_resnet=True),    # full SG-GAN objective
+    dict(loss_mode="p2p", use_pix2pix=True),     # pix2pix nets (BN state)
+])
+def test_train_step_runs_and_learns(mode_kw):
+    cfg = tiny_cfg(**mode_kw)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, donate=False)
+    batch = make_batch(cfg, jax.random.PRNGKey(1))
+    lr = jnp.float32(lr_schedule(cfg, 0))
+
+    losses_g = []
+    for i in range(5):
+        state, m = step(state, batch, lr, jax.random.PRNGKey(i))
+        assert np.isfinite(float(m["gen_loss"]))
+        assert np.isfinite(float(m["disc_loss"]))
+        losses_g.append(float(m["gen_loss"]))
+    # L1(seg-fake) dominates the gen loss; repeated steps on a fixed batch
+    # must reduce it.
+    assert losses_g[-1] < losses_g[0]
+    assert int(state.step) == 5
+
+
+def test_lr_schedule():
+    cfg = tiny_cfg()  # compat override on by default
+    assert lr_schedule(cfg, 0) == 1e-3
+    cfg2 = cfg.replace(compat_lr_override=False, epoch=100, epoch_step=50,
+                       lr=2e-4)
+    assert lr_schedule(cfg2, 0) == 2e-4
+    assert lr_schedule(cfg2, 49) == 2e-4
+    np.testing.assert_allclose(lr_schedule(cfg2, 75), 2e-4 * 0.5)
+    np.testing.assert_allclose(lr_schedule(cfg2, 100), 0.0)
+
+
+def test_pool_fill_then_swap():
+    state = pool_init(4, (2, 2, 1))
+    items = jnp.arange(8, dtype=jnp.float32).reshape(2, 2, 2, 1)
+
+    # filling phase: passthrough + store
+    state, out = pool_update(state, jax.random.PRNGKey(0), items)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(items))
+    assert int(state.count) == 2
+    state, out = pool_update(state, jax.random.PRNGKey(1), items + 100)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(items) + 100)
+    assert int(state.count) == 4
+
+    # full: outputs are either the new items or historical entries
+    buf_before = np.asarray(state.buffer)
+    new_items = items + 1000
+    hist_seen = passthrough_seen = False
+    for seed in range(20):
+        s2, out = pool_update(state, jax.random.PRNGKey(seed + 2), new_items)
+        for b in range(2):
+            o = np.asarray(out[b])
+            if (o >= 1000).all():
+                passthrough_seen = True
+            else:
+                hist_seen = True
+                # historical output must be one of the stored entries
+                assert any(np.allclose(o, buf_before[i]) for i in range(4))
+    assert hist_seen and passthrough_seen
+    assert int(s2.count) == 4
+
+
+def test_pool_disabled():
+    cfg = tiny_cfg(loss_mode="sggan", max_size=0)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, donate=False)
+    batch = make_batch(cfg, jax.random.PRNGKey(1))
+    state, m = step(state, batch, jnp.float32(1e-3), jax.random.PRNGKey(2))
+    assert np.isfinite(float(m["gen_loss"]))
