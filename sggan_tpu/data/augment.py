@@ -1,0 +1,99 @@
+"""PRNG-keyed JAX augmentation — the TPU-native replacement for the
+reference's imgaug pipeline (utils.py:55-103).
+
+The reference's seq2 applies, in random order: Fliplr(0.5),
+Crop(percent=(0.2, 0.4) per side, keep_size), Affine(translate ±10 %,
+rotate ±1°) to a channel-concat of image+seg so both transform identically
+(utils.py:80-103).  Here the crop/translate/rotate compose into a SINGLE
+2x3 affine matrix applied with one bilinear gather
+(jax.scipy.ndimage.map_coordinates) — one fused kernel instead of three
+sequential resamples; the sampled parameter distributions match imgaug's.
+The random-order application is approximated by the composition (the three
+ops nearly commute at these magnitudes).
+
+The reference does NOT warp the class-id map in its augment path (one_hot
+runs on the unaugmented seg_class, utils.py:190) — reproduced by
+augmenting only (img, seg) pairs.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class AffineParams(NamedTuple):
+    matrix: jnp.ndarray   # (2, 3) output->input coordinate map
+    flip: jnp.ndarray     # scalar bool
+
+
+def random_affine_params(key, h: int, w: int,
+                         crop_lo: float = 0.2, crop_hi: float = 0.4,
+                         translate: float = 0.1,
+                         rotate_deg: float = 1.0) -> AffineParams:
+    """Sample per-image augmentation parameters matching imgaug seq2."""
+    k_flip, k_crop, k_trans, k_rot = jax.random.split(key, 4)
+    flip = jax.random.bernoulli(k_flip, 0.5)
+
+    # per-side crop percents (imgaug Crop sample_independently=True)
+    top, bot, left, right = jax.random.uniform(
+        k_crop, (4,), minval=crop_lo, maxval=crop_hi)
+    # keep_size crop == scale+shift: out pixel (y, x) samples input at
+    # (top*h + y*(1-top-bot), left*w + x*(1-left-right))
+    sy = 1.0 - top - bot
+    sx = 1.0 - left - right
+    ty0 = top * h
+    tx0 = left * w
+
+    dty, dtx = jax.random.uniform(k_trans, (2,), minval=-translate,
+                                  maxval=translate)
+    theta = jax.random.uniform(k_rot, (), minval=-rotate_deg,
+                               maxval=rotate_deg) * math.pi / 180.0
+
+    # rotation about the image centre (output coords -> input coords is the
+    # inverse rotation), then translate (shift content by d*size means
+    # sampling from x - d*w), then the crop scale/offset.
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    # inverse rotation matrix
+    r = jnp.array([[cos, sin], [-sin, cos]])
+    # compose: p_in = crop(translate(rotate(p_out)))
+    # rotate: q = R (p - c) + c ; translate: q -= (dty*h, dtx*w)
+    # crop: q = diag(sy, sx) q + (ty0, tx0)
+    s = jnp.array([[sy, 0.0], [0.0, sx]])
+    m = s @ r
+    const = (s @ (jnp.array([cy, cx]) - r @ jnp.array([cy, cx])
+                  - jnp.array([dty * h, dtx * w]))
+             + jnp.array([ty0, tx0]))
+    matrix = jnp.concatenate([m, const[:, None]], axis=1)  # (2, 3)
+    return AffineParams(matrix=matrix, flip=flip)
+
+
+def affine_warp(img, params: AffineParams, order: int = 1):
+    """Apply the affine map with a single bilinear gather.
+    img: (H, W, C) float. Returns same shape."""
+    h, w = img.shape[:2]
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    xx = jnp.where(params.flip, (w - 1) - xx, xx)
+    coords = jnp.stack([yy, xx])                       # (2, H, W)
+    m, c = params.matrix[:, :2], params.matrix[:, 2]
+    src = jnp.einsum("ij,jhw->ihw", m, coords) + c[:, None, None]
+
+    def warp_channel(ch):
+        return jax.scipy.ndimage.map_coordinates(ch, [src[0], src[1]],
+                                                 order=order, mode="nearest")
+    return jax.vmap(warp_channel, in_axes=-1, out_axes=-1)(img)
+
+
+def augment_pair(key, img, seg):
+    """Augment an (img, seg) pair with identical geometry — parity with
+    DataAugmentation.augmentation_func (utils.py:94-103), fused into one
+    warp over the channel concat."""
+    p = random_affine_params(key, img.shape[0], img.shape[1])
+    both = jnp.concatenate([img, seg], axis=-1)
+    warped = affine_warp(both, p)
+    return warped[..., : img.shape[-1]], warped[..., img.shape[-1]:]

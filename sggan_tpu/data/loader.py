@@ -1,0 +1,147 @@
+"""Host-side dataset scanning + decode + prefetching input pipeline.
+
+Honours the reference's on-disk dataset contract (SURVEY §1):
+    datasets/<name>/{trainA, trainA_seg, trainA_seg_class,
+                     testA, testA_seg, testA_seg_class}
+with identical basenames; path substitution by directory-name replace
+(utils.py:121,146,169-170).
+
+The reference loads, resizes, one-hots and augments every item serially on
+the host inside the train loop (model.py:227-258).  Here the host does
+PNG decode only, on a background thread that stays ahead of the device;
+resize/one-hot/augment run device-side (preprocess.py).  With
+use_augmentation, each source item yields a plain and an augmented sample,
+doubling the effective batch exactly like model.py:240-244.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from dataclasses import dataclass
+from glob import glob
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..utils.images import imread
+
+
+@dataclass
+class Dataset:
+    root: str            # e.g. ./datasets/city
+    split: str           # "trainA" | "testA"
+
+    def files(self) -> List[str]:
+        return sorted(glob(os.path.join(self.root, self.split, "*.*")))
+
+    @staticmethod
+    def seg_path(p: str, split: str) -> str:
+        return p.replace(split, split + "_seg")
+
+    @staticmethod
+    def cls_path(p: str, split: str) -> str:
+        return p.replace(split, split + "_seg_class")
+
+
+def _load_triplet(path: str, split: str) -> Tuple[np.ndarray, np.ndarray,
+                                                  np.ndarray]:
+    img = imread(path)
+    seg = imread(Dataset.seg_path(path, split))
+    cls = imread(Dataset.cls_path(path, split))
+    if img.ndim == 2:
+        img = np.stack([img] * 3, -1)
+    img = img[..., :3]
+    seg = seg[..., :3] if seg.ndim == 3 else np.stack([seg] * 3, -1)
+    if cls.ndim == 3:
+        cls = cls[..., 0]
+    return img.astype(np.uint8), seg.astype(np.uint8), cls.astype(np.uint8)
+
+
+def load_batch(paths: List[str], split: str):
+    """Decode a batch of triplets; all images in a dataset must share one
+    source shape (true of the reference fixtures)."""
+    imgs, segs, clss = [], [], []
+    for p in paths:
+        i, s, c = _load_triplet(p, split)
+        imgs.append(i)
+        segs.append(s)
+        clss.append(c)
+    return np.stack(imgs), np.stack(segs), np.stack(clss)
+
+
+def train_iterator(root: str, batch_size: int, seed: int,
+                   use_augmentation: bool = True, epoch: int = 0,
+                   train_size: Optional[int] = None,
+                   prefetch: int = 2) -> Iterator[dict]:
+    """One epoch of decoded uint8 batches, shuffled per epoch
+    (model.py:220-221), prefetched on a background thread.
+
+    Yields {"img": (B', sh, sw, 3) u8, "seg": ..., "cls": (B', sh, sw) u8,
+            "aug": (B',) bool} where B' = 2*batch_size when augmenting
+    (plain + to-be-augmented duplicate, model.py:240-244)."""
+    ds = Dataset(root, "trainA")
+    files = ds.files()
+    rng = np.random.default_rng(seed + epoch)
+    rng.shuffle(files)
+    if train_size is not None:
+        files = files[: int(train_size)]
+    n_batches = len(files) // batch_size
+
+    q: queue.Queue = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def producer():
+        try:
+            for b in range(n_batches):
+                if stop.is_set():
+                    return
+                paths = files[b * batch_size:(b + 1) * batch_size]
+                img, seg, cls = load_batch(paths, "trainA")
+                if use_augmentation:
+                    img = np.concatenate([img, img])
+                    seg = np.concatenate([seg, seg])
+                    cls = np.concatenate([cls, cls])
+                    aug = np.concatenate([np.zeros(batch_size, bool),
+                                          np.ones(batch_size, bool)])
+                else:
+                    aug = np.zeros(batch_size, bool)
+                q.put({"img": img, "seg": seg, "cls": cls, "aug": aug})
+        finally:
+            q.put(None)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+    finally:
+        stop.set()
+
+
+def test_files(root: str) -> List[str]:
+    return Dataset(root, "testA").files()
+
+
+def load_test_triplet(path: str):
+    return _load_triplet(path, "testA")
+
+
+def list_split(img_dir: str, seg_dir: str, replace_names=None):
+    """Pair image/seg files by basename — parity with prepare_data.prepare's
+    pairing stage (prepare_data.py:9-18)."""
+    imgs = sorted(glob(os.path.join(img_dir, "*.png")))
+    segs = set(glob(os.path.join(seg_dir, "*.png")))
+    pairs = []
+    for ip in imgs:
+        base = os.path.basename(ip)
+        if replace_names:
+            base = base.replace(replace_names[0], replace_names[1])
+        sp = os.path.join(seg_dir, base)
+        if sp in segs:
+            pairs.append((ip, sp))
+    return pairs

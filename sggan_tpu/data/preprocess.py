@@ -1,0 +1,114 @@
+"""Device-side fused preprocessing — the TPU-native replacement for the
+reference's per-item host loader (utils.py:116-233).
+
+The reference path (imread -> skimage square resize -> optional imgaug ->
+resize to (H, W) -> one_hot(34) at source resolution -> scipy zoom ->
+numpy fliplr) runs serialized with the train step on the host and is the
+dominant cost (SURVEY §3.1).  Here the host only decodes PNGs to uint8;
+everything else is ONE jitted program on device:
+
+    uint8 -> [0,1] float -> square resize (antialiased, matching skimage's
+    default) -> per-sample affine augment (single bilinear gather,
+    augment.py) -> final resize -> class-map nearest resize to the stride-8
+    mask grid + one-hot -> joint random fliplr.
+
+XLA fuses the elementwise stages into the resize convolutions, and the
+whole batch is processed without host round-trips.
+
+Deliberate rationalizations vs the reference (SURVEY §7 "hard parts"):
+* the one-hot mask is built at the *target* mask-grid resolution via
+  nearest resize of the class map (H/8 per Config.mask_stride), not
+  one-hot at source res + scipy zoom to a ~4x4 grid (utils.py:197-199);
+* augmentation warps are composed into one gather instead of three
+  sequential resamples.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .augment import AffineParams, affine_warp, random_affine_params
+
+
+def _identity_params() -> AffineParams:
+    return AffineParams(
+        matrix=jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32),
+        flip=jnp.zeros((), bool))
+
+
+def _resize(x, hw, method="linear"):
+    shape = (*x.shape[:-3], *hw, x.shape[-1])
+    return jax.image.resize(x, shape, method=method, antialias=True)
+
+
+def _one_hot_mask(cls_u8, mask_hw, n_class):
+    """(B, sh, sw) uint8 class map -> (B, mh, mw, n_class) one-hot via
+    nearest-neighbour resize (replaces utils.py:158-165 + scipy zoom)."""
+    cls = jax.image.resize(cls_u8.astype(jnp.float32),
+                           (cls_u8.shape[0], *mask_hw), method="nearest")
+    return jax.nn.one_hot(cls.astype(jnp.int32), n_class, dtype=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw", "mask_hw", "n_class"))
+def preprocess_train(img_u8, seg_u8, cls_u8, key, aug_flags, *,
+                     out_hw, mask_hw, n_class):
+    """img_u8/seg_u8: (B, sh, sw, 3) uint8; cls_u8: (B, sh, sw) uint8;
+    aug_flags: (B,) bool — which samples get the imgaug-equivalent warp
+    (the reference emits plain+augmented pairs per item, model.py:235-244).
+    Returns {"real_a", "seg_a", "mask_a"} float32, images in [0, 1]."""
+    b, sh, sw = img_u8.shape[:3]
+    img = img_u8.astype(jnp.float32) / 255.0
+    seg = seg_u8.astype(jnp.float32) / 255.0
+
+    # square resize to (sh, sh) — utils.py:172-173
+    img = _resize(img, (sh, sh))
+    seg = _resize(seg, (sh, sh))
+
+    # per-sample augmentation warp (identity when not augmenting)
+    k_aug, k_flip = jax.random.split(key)
+    aug_keys = jax.random.split(k_aug, b)
+
+    def one(im, sg, k, flag):
+        p = random_affine_params(k, sh, sh)
+        ident = _identity_params()
+        p = AffineParams(matrix=jnp.where(flag, p.matrix, ident.matrix),
+                         flip=jnp.logical_and(flag, p.flip))
+        both = affine_warp(jnp.concatenate([im, sg], axis=-1), p)
+        return both[..., :3], both[..., 3:]
+
+    img, seg = jax.vmap(one)(img, seg, aug_keys, aug_flags)
+
+    # final resize to training resolution — utils.py:195-196
+    img = _resize(img, out_hw)
+    seg = _resize(seg, out_hw)
+
+    mask = _one_hot_mask(cls_u8, mask_hw, n_class)
+
+    # joint random fliplr — utils.py:201-204
+    flip = jax.random.bernoulli(k_flip, 0.5, (b,))[:, None, None, None]
+    img = jnp.where(flip, img[:, :, ::-1], img)
+    seg = jnp.where(flip, seg[:, :, ::-1], seg)
+    mask = jnp.where(flip, mask[:, :, ::-1], mask)
+    return {"real_a": img, "seg_a": seg, "mask_a": mask}
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw", "mask_hw", "n_class"))
+def preprocess_test(img_u8, seg_u8, cls_u8, *, out_hw, mask_hw, n_class):
+    """Parity with load_test_data (utils.py:116-156): direct resize to
+    (H, W) (no square step), full-res one-hot mask + mask-grid one-hot.
+    Returns (img, seg, mask_full, mask_grid) float32, images in [0, 1]."""
+    img = _resize(img_u8.astype(jnp.float32) / 255.0, out_hw)
+    seg = _resize(seg_u8.astype(jnp.float32) / 255.0, out_hw)
+    mask_full = _one_hot_mask(cls_u8, out_hw, n_class)
+    mask_grid = _one_hot_mask(cls_u8, mask_hw, n_class)
+    return img, seg, mask_full, mask_grid
+
+
+def make_preprocess_train(cfg):
+    """Bind the static config once."""
+    return functools.partial(
+        preprocess_train, out_hw=(cfg.image_height, cfg.image_width),
+        mask_hw=cfg.mask_hw, n_class=cfg.segment_class)

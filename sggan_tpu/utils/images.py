@@ -1,0 +1,68 @@
+"""Host-side image IO and conversion utilities — parity with the
+reference's utils.py:239-314 (save/merge/inverse_transform/get_img) and
+utils.py:158-165 (one_hot), using PIL instead of skimage.io.
+
+These run on the host only; all per-pixel *compute* (resize, one-hot at
+training resolution, normalization, flips) happens device-side in
+data/preprocess.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from PIL import Image
+
+
+def imread(path, is_grayscale: bool = False) -> np.ndarray:
+    """PNG/JPG decode to uint8 ndarray (H, W[, C]) — utils.py:249-254."""
+    img = Image.open(path)
+    if is_grayscale:
+        return np.asarray(img.convert("F"), dtype=np.float64) / 255.0
+    return np.asarray(img)
+
+
+def inverse_transform(images) -> np.ndarray:
+    """[-1, 1] float -> uint8, exactly ((x+1)/2*255).astype(uint8)
+    (utils.py:300-314, truncation included)."""
+    return (((np.asarray(images, np.float64) + 1.0) / 2.0) * 255).astype(np.uint8)
+
+
+def merge(images, size) -> np.ndarray:
+    """Grid compositor (utils.py:261-269): images (N, H, W, 3) tiled into a
+    (size[0]*H, size[1]*W, 3) uint8 canvas, row-major."""
+    images = np.asarray(images)
+    h, w = images.shape[1], images.shape[2]
+    img = np.zeros((h * size[0], w * size[1], 3))
+    for idx, image in enumerate(images):
+        i = idx % size[1]
+        j = idx // size[1]
+        img[j * h:j * h + h, i * w:i * w + w, :] = image[..., :3]
+    return img.astype(np.uint8)
+
+
+def imsave(images, size, path):
+    """utils.py:271-277."""
+    Image.fromarray(merge(images, size)).save(path)
+
+
+def save_images(images, size, image_path):
+    """utils.py:239-241: inverse-transform then save as a grid."""
+    return imsave(inverse_transform(images), size, image_path)
+
+
+def get_img(image, size) -> np.ndarray:
+    """utils.py:243-247: merged grid reshaped to (1, H, W, 3)."""
+    img = merge(inverse_transform(image), size)
+    return img.reshape(1, *img.shape)
+
+
+def one_hot(image_in: np.ndarray, num_classes: int = 8) -> np.ndarray:
+    """Host one-hot of a (H, W) class-id map — utils.py:158-165.
+    (Training-path one-hot happens on device; this is the offline/test
+    helper with reference parity.)"""
+    hot = np.zeros((*image_in.shape[:2], num_classes), np.int64)
+    idx = np.clip(image_in.astype(np.int64), 0, num_classes - 1)
+    h_idx, w_idx = np.meshgrid(np.arange(hot.shape[0]),
+                               np.arange(hot.shape[1]), indexing="ij")
+    hot[h_idx, w_idx, idx] = 1
+    return hot

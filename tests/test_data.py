@@ -1,0 +1,199 @@
+"""Data subsystem tests: IO utils, vectorized seg-class conversion, the
+fused device preprocess, augmentation warp, and the epoch iterator over a
+synthetic on-disk fixture matching the reference's dataset contract."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from sggan_tpu.data import augment, loader, preprocess, segment_class
+from sggan_tpu.utils import images as img_utils
+
+
+# ---------------------------------------------------------------- fixtures
+
+@pytest.fixture(scope="module")
+def fixture_ds(tmp_path_factory):
+    """datasets/<name>/{trainA,trainA_seg,trainA_seg_class,testA,...} with
+    synthetic 64x96 PNGs (identical basenames, RGBA segs like Cityscapes)."""
+    root = tmp_path_factory.mktemp("datasets") / "synth"
+    rng = np.random.default_rng(0)
+    colors = [c for c, _ in segment_class.CITYSCAPE_MAP]
+    for split, n in [("trainA", 6), ("testA", 2)]:
+        for sub in ["", "_seg", "_seg_class"]:
+            os.makedirs(root / f"{split}{sub}", exist_ok=True)
+        for i in range(n):
+            name = f"img_{i:03d}.png"
+            img = rng.integers(0, 255, (64, 96, 3), np.uint8)
+            Image.fromarray(img).save(root / split / name)
+            # seg: blocks of known cityscape colors, saved as RGBA
+            cls_ids = rng.integers(0, len(colors), (4, 6))
+            seg = np.zeros((64, 96, 4), np.uint8)
+            seg[..., 3] = 255
+            cls = np.zeros((64, 96), np.uint8)
+            for bi in range(4):
+                for bj in range(6):
+                    col = colors[cls_ids[bi, bj]]
+                    seg[bi * 16:(bi + 1) * 16, bj * 16:(bj + 1) * 16, :3] = col
+                    cls[bi * 16:(bi + 1) * 16, bj * 16:(bj + 1) * 16] = \
+                        dict(segment_class.CITYSCAPE_MAP)[col]
+            Image.fromarray(seg).save(root / f"{split}_seg" / name)
+            Image.fromarray(cls, mode="L").save(
+                root / f"{split}_seg_class" / name)
+    return str(root)
+
+
+# ------------------------------------------------------------------ images
+
+def test_inverse_transform_and_merge():
+    x = np.array([[[[-1.0, 0.0, 1.0]]]])  # (1,1,1,3)
+    out = img_utils.inverse_transform(x)
+    np.testing.assert_array_equal(out, [[[[0, 127, 255]]]])
+    four = np.tile(np.arange(4)[:, None, None, None], (1, 2, 2, 3)).astype(float)
+    grid = img_utils.merge(four, [2, 2])
+    assert grid.shape == (4, 4, 3)
+    assert grid[0, 0, 0] == 0 and grid[0, 3, 0] == 1
+    assert grid[3, 0, 0] == 2 and grid[3, 3, 0] == 3
+
+
+def test_save_and_get_img(tmp_path):
+    x = np.random.default_rng(1).uniform(-1, 1, (1, 8, 8, 3))
+    p = tmp_path / "out.png"
+    img_utils.save_images(x, [1, 1], str(p))
+    back = np.asarray(Image.open(p))
+    np.testing.assert_array_equal(back, img_utils.inverse_transform(x)[0])
+    g = img_utils.get_img(x, [1, 1])
+    assert g.shape == (1, 8, 8, 3)
+
+
+def test_one_hot_parity():
+    m = np.array([[0, 1], [2, 1]])
+    hot = img_utils.one_hot(m, 3)
+    assert hot.shape == (2, 2, 3)
+    np.testing.assert_array_equal(hot.argmax(-1), m)
+    np.testing.assert_array_equal(hot.sum(-1), 1)
+
+
+# ----------------------------------------------------------- segment_class
+
+def test_rgb_to_class_vectorized():
+    lut = segment_class.build_lut()
+    img = np.zeros((2, 3, 3), np.uint8)
+    img[0, 0] = (128, 64, 128)   # road -> 4
+    img[0, 1] = (70, 130, 180)   # sky -> 6
+    img[1, 2] = (1, 2, 3)        # unmapped -> 0
+    cls = segment_class.rgb_to_class(img, lut)
+    np.testing.assert_array_equal(cls, [[4, 6, 0], [0, 0, 0]])
+
+
+def test_preprocess_dir(fixture_ds):
+    src = os.path.join(fixture_ds, "trainA_seg")
+    n = segment_class.preprocess_dir(src)
+    assert n == 6
+    # output must match the fixture's ground-truth class maps
+    cls = np.asarray(Image.open(
+        os.path.join(fixture_ds, "trainA_seg_class", "img_000.png")))
+    seg = np.asarray(Image.open(
+        os.path.join(fixture_ds, "trainA_seg", "img_000.png")))
+    expect = segment_class.rgb_to_class(seg, segment_class.build_lut())
+    np.testing.assert_array_equal(cls, expect)
+
+
+# ----------------------------------------------------------------- augment
+
+def test_affine_identity_roundtrip():
+    img = jnp.asarray(np.random.default_rng(2).uniform(size=(16, 16, 3))
+                      .astype(np.float32))
+    p = preprocess._identity_params()
+    out = augment.affine_warp(img, p)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+
+def test_affine_flip_only():
+    img = jnp.asarray(np.arange(16, dtype=np.float32).reshape(4, 4, 1))
+    p = preprocess._identity_params()._replace(flip=jnp.ones((), bool))
+    out = augment.affine_warp(img, p)
+    np.testing.assert_allclose(np.asarray(out[:, :, 0]),
+                               np.asarray(img[:, ::-1, 0]), atol=1e-5)
+
+
+def test_augment_pair_changes_geometry_identically():
+    key = jax.random.PRNGKey(3)
+    rngn = np.random.default_rng(4)
+    img = jnp.asarray(rngn.uniform(size=(32, 32, 3)).astype(np.float32))
+    seg = img + 0.0  # identical content
+    ai, as_ = augment.augment_pair(key, img, seg)
+    np.testing.assert_allclose(np.asarray(ai), np.asarray(as_), atol=1e-6)
+    assert not np.allclose(np.asarray(ai), np.asarray(img), atol=1e-3)
+
+
+# -------------------------------------------------------------- preprocess
+
+def test_preprocess_train_shapes_and_ranges():
+    rngn = np.random.default_rng(5)
+    img = rngn.integers(0, 255, (4, 48, 64, 3), np.uint8)
+    seg = rngn.integers(0, 255, (4, 48, 64, 3), np.uint8)
+    cls = rngn.integers(0, 8, (4, 48, 64), np.uint8)
+    aug = np.array([False, True, False, True])
+    out = preprocess.preprocess_train(
+        img, seg, cls, jax.random.PRNGKey(0), aug,
+        out_hw=(32, 32), mask_hw=(4, 4), n_class=8)
+    assert out["real_a"].shape == (4, 32, 32, 3)
+    assert out["seg_a"].shape == (4, 32, 32, 3)
+    assert out["mask_a"].shape == (4, 4, 4, 8)
+    r = np.asarray(out["real_a"])
+    assert r.min() >= -1e-5 and r.max() <= 1 + 1e-5
+    m = np.asarray(out["mask_a"])
+    np.testing.assert_allclose(m.sum(-1), 1.0)  # valid one-hot everywhere
+
+
+def test_preprocess_mask_content():
+    """With a uniform class map the mask must be that class everywhere,
+    regardless of resize/flip."""
+    img = np.zeros((1, 16, 16, 3), np.uint8)
+    cls = np.full((1, 16, 16), 5, np.uint8)
+    out = preprocess.preprocess_train(
+        img, img, cls, jax.random.PRNGKey(1), np.array([False]),
+        out_hw=(8, 8), mask_hw=(2, 2), n_class=8)
+    np.testing.assert_allclose(np.asarray(out["mask_a"][..., 5]), 1.0)
+
+
+def test_preprocess_test_shapes():
+    rngn = np.random.default_rng(6)
+    img = rngn.integers(0, 255, (1, 48, 64, 3), np.uint8)
+    cls = rngn.integers(0, 8, (1, 48, 64), np.uint8)
+    i, s, mf, mg = preprocess.preprocess_test(
+        img, img, cls, out_hw=(32, 48), mask_hw=(4, 6), n_class=8)
+    assert i.shape == (1, 32, 48, 3)
+    assert mf.shape == (1, 32, 48, 8)
+    assert mg.shape == (1, 4, 6, 8)
+
+
+# ------------------------------------------------------------------ loader
+
+def test_train_iterator_epoch(fixture_ds):
+    batches = list(loader.train_iterator(fixture_ds, batch_size=2, seed=0,
+                                         use_augmentation=True))
+    assert len(batches) == 3  # 6 files / batch 2
+    b = batches[0]
+    assert b["img"].shape == (4, 64, 96, 3)  # doubled by augmentation
+    assert b["cls"].shape == (4, 64, 96)
+    assert b["aug"].tolist() == [False, False, True, True]
+    # epoch shuffling differs by epoch
+    e0 = list(loader.train_iterator(fixture_ds, 2, seed=0, epoch=0,
+                                    use_augmentation=False))
+    e1 = list(loader.train_iterator(fixture_ds, 2, seed=0, epoch=1,
+                                    use_augmentation=False))
+    assert not all(np.array_equal(a["img"], b["img"])
+                   for a, b in zip(e0, e1))
+
+
+def test_loader_seg_rgba_sliced(fixture_ds):
+    files = loader.Dataset(fixture_ds, "trainA").files()
+    img, seg, cls = loader._load_triplet(files[0], "trainA")
+    assert seg.shape[-1] == 3  # RGBA sliced to RGB
+    assert cls.ndim == 2
