@@ -76,6 +76,11 @@ class Config:
     # model.py:97 vs H/34 at module.py:282 vs the loader's ~H/32 zoom at
     # utils.py:197); we standardize on the paper's stride-8 grid.
     mask_stride: int = 8
+    # The reference feeds the generator 0-255-range floats at TEST time
+    # (tf.image.convert_image_dtype to uint8 then float, model.py:555-557)
+    # but [0,1]-range floats at TRAIN time — a train/test input-scale
+    # mismatch (SURVEY §3.2).  True reproduces it; False feeds [0,1].
+    test_uint8_input: bool = True
 
     # ---- loss / trainer mode ----
     # "p2p"  — the reference's *active* path: BCE GAN + 100·L1 (model.py:149-166)
@@ -154,6 +159,8 @@ def build_parser() -> argparse.ArgumentParser:
               "reproduce the reference's hard-coded lr=1e-3 (model.py:205)")
     p.add_argument("--dropout_mode", default=d.dropout_mode, choices=["intended", "keras_quirk"])
     p.add_argument("--mask_stride", type=int, default=d.mask_stride)
+    _add_bool(p, "test_uint8_input", d.test_uint8_input,
+              "reproduce the reference's 0-255-range generator input at test time")
     p.add_argument("--loss_mode", default=d.loss_mode, choices=["p2p", "sggan"])
     p.add_argument("--data_seed", type=int, default=d.data_seed)
     p.add_argument("--compute_dtype", default=d.compute_dtype, choices=["bfloat16", "float32"])

@@ -1,0 +1,223 @@
+"""Training/eval orchestration — parity with the reference's `sggan` class
+(model.py:39-567) on a compiled, device-resident pipeline.
+
+Per epoch (model.py:219-271): shuffled glob of trainA, host PNG decode on a
+prefetch thread, device-side fused preprocessing, jitted train step;
+epoch-end full eval over testA with fake-PNG dumps and confusion-matrix
+scores; TensorBoard scalars/images under the reference's tag names;
+checkpoints on finish and KeyboardInterrupt (model.py:272-275) plus
+periodic saves every --save_freq steps (wired for real).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+from glob import glob
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.loader import load_test_triplet, test_files, train_iterator
+from ..data.preprocess import make_preprocess_train, preprocess_test
+from ..metrics.scores import scores, scores_seg_fake
+from ..models import (discriminator_pix2pix, generator_pix2pix,
+                      generator_resnet, generator_unet)
+from ..utils import checkpoint as ckpt
+from ..utils.images import get_img, inverse_transform, save_images
+from ..utils.summary import SummaryWriter
+from .step import TrainState, init_state, lr_schedule, make_train_step
+
+
+def _dataset_root(cfg: Config) -> str:
+    if os.path.isdir(cfg.dataset_dir):
+        return cfg.dataset_dir
+    return os.path.join("./datasets", cfg.dataset_dir)
+
+
+class Trainer:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.root = _dataset_root(cfg)
+        self.key = jax.random.PRNGKey(cfg.data_seed)
+        self.state: TrainState = init_state(cfg, self.key)
+        self.step_fn = make_train_step(cfg)
+        self.preprocess = make_preprocess_train(cfg)
+        self._gen_jit = jax.jit(self._gen_forward)
+
+    # ------------------------------------------------------------ forward
+    def _gen_forward(self, gen_params, gen_bn, x):
+        cfg = self.cfg
+        cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        if cfg.use_pix2pix:
+            y, _ = generator_pix2pix.apply(gen_params, gen_bn, x,
+                                           compute_dtype=cd, ngf=cfg.ngf)
+            return y
+        if cfg.use_resnet:
+            return generator_resnet.apply(gen_params, x, compute_dtype=cd)
+        return generator_unet.apply(gen_params, x, compute_dtype=cd)
+
+    def generate(self, images01: np.ndarray) -> np.ndarray:
+        """Generator forward on [0,1]-range images, honouring the
+        test-time input-scale compat flag (model.py:555-561)."""
+        x = np.asarray(images01, np.float32)
+        if self.cfg.test_uint8_input:
+            x = np.round(x * 255.0)
+        return np.asarray(self._gen_jit(self.state.gen_params,
+                                        self.state.gen_bn,
+                                        jnp.asarray(x)))
+
+    # -------------------------------------------------------------- train
+    def train(self) -> dict:
+        cfg = self.cfg
+        logdir = os.path.join(
+            cfg.log_dir,
+            datetime.datetime.now().strftime("%Y%m%d-%H%M%S"), "train")
+        writer = SummaryWriter(logdir)
+        start_time = time.time()
+
+        if cfg.continue_train:
+            restored = ckpt.load(self.state, cfg.checkpoint_dir,
+                                 cfg.dataset_dir)
+            if restored is not None:
+                self.state = restored
+                print(" [*] Load SUCCESS")
+            else:
+                print(" [!] Load failed...")
+        else:
+            print(" [*] New training STARTED")
+
+        epoch = 0
+        last = {}
+        try:
+            for epoch in range(cfg.epoch):
+                lr = jnp.float32(lr_schedule(cfg, epoch))
+                g_losses, d_losses = [], []
+                it = train_iterator(self.root, cfg.batch_size, cfg.data_seed,
+                                    use_augmentation=cfg.use_augmentation,
+                                    epoch=epoch, train_size=cfg.train_size,
+                                    prefetch=cfg.prefetch)
+                for idx, raw in enumerate(it):
+                    self.key, k_pre, k_step = jax.random.split(self.key, 3)
+                    batch = self.preprocess(raw["img"], raw["seg"],
+                                            raw["cls"], k_pre, raw["aug"])
+                    self.state, m = self.step_fn(self.state, batch, lr,
+                                                 k_step)
+                    g_losses.append(m["gen_loss"])
+                    d_losses.append(m["disc_loss"])
+                    if idx % cfg.print_freq == 0:
+                        print("Epoch: [%2d] [%4d] time: %4.4f "
+                              "Gen_Loss: %f Disc_Loss: %f" % (
+                                  epoch, idx, time.time() - start_time,
+                                  float(m["gen_loss"]),
+                                  float(m["disc_loss"])))
+                    if cfg.save_freq and int(self.state.step) % cfg.save_freq == 0:
+                        ckpt.save(self.state, cfg.checkpoint_dir,
+                                  cfg.dataset_dir, epoch)
+
+                fake_concat, score = self.test_during_train(epoch, writer)
+                if fake_concat is not None:
+                    writer.image(f"Segmentation Epoch {epoch}", fake_concat,
+                                 step=epoch)
+                if g_losses:
+                    writer.scalar("Generator Loss",
+                                  float(jnp.mean(jnp.stack(g_losses))), epoch)
+                    writer.scalar("Discriminator Loss",
+                                  float(jnp.mean(jnp.stack(d_losses))), epoch)
+                last = {"epoch": epoch, "score": score,
+                        "gen_loss": float(jnp.mean(jnp.stack(g_losses)))
+                        if g_losses else None}
+        except KeyboardInterrupt:
+            ckpt.save(self.state, cfg.checkpoint_dir, cfg.dataset_dir, epoch)
+            raise
+        finally:
+            ckpt.save(self.state, cfg.checkpoint_dir, cfg.dataset_dir, epoch)
+            writer.close()
+        return last
+
+    # --------------------------------------------------------------- eval
+    def test_during_train(self, epoch: int, writer: Optional[SummaryWriter]
+                          = None):
+        """Epoch-end eval — parity with model.py:307-378: per test image,
+        generator forward, fake PNG dump, seg-vs-fake argmax labels,
+        aggregate confusion-matrix scores, TB scalars."""
+        cfg = self.cfg
+        files = test_files(self.root)
+        if not files:
+            return None, None
+        os.makedirs(cfg.test_dir, exist_ok=True)
+        gts, preds, outputs = [], [], []
+        for path in files:
+            img_u8, seg_u8, cls_u8 = (a[None] for a in
+                                      load_test_triplet(path))
+            img, seg, _, _ = preprocess_test(
+                img_u8, seg_u8, cls_u8, out_hw=cfg.image_size,
+                mask_hw=cfg.mask_hw, n_class=cfg.segment_class)
+            fake = self.generate(np.asarray(img))
+            save_images(fake, [1, 1],
+                        os.path.join(cfg.test_dir, os.path.basename(path)))
+            fake_img = get_img(fake, [1, 1])
+            outputs.append(fake_img[0])
+            lt, lp = scores_seg_fake(np.asarray(seg), fake_img)
+            gts += list(lt)
+            preds += list(lp)
+        score = scores(gts, preds, n_class=cfg.segment_class)
+        if writer is not None:
+            writer.scalar("Overall Accuracy", score["Overall Acc"], epoch)
+            writer.scalar("Mean Accuracy", score["Mean Acc"], epoch)
+            writer.scalar("Frequency Weighted Accuracy", score["FreqW Acc"],
+                          epoch)
+            writer.scalar("Mean IoU", score["Mean IoU"], epoch)
+        return np.stack(outputs), score
+
+    # --------------------------------------------------------------- test
+    def test(self):
+        """Inference CLI — parity with model.py:535-567: load latest
+        checkpoint, translate every testA image, save fake as <name>.png
+        and the input as real_<name>.png in --test_dir."""
+        cfg = self.cfg
+        restored = ckpt.load(self.state, cfg.checkpoint_dir, cfg.dataset_dir)
+        if restored is not None:
+            self.state = restored
+            print(" [*] Load SUCCESS")
+        else:
+            print(" [!] Load failed...")
+        os.makedirs(cfg.test_dir, exist_ok=True)
+        for path in test_files(self.root):
+            print("Processing image: " + path)
+            img_u8, seg_u8, cls_u8 = (a[None] for a in
+                                      load_test_triplet(path))
+            img, _, _, _ = preprocess_test(
+                img_u8, seg_u8, cls_u8, out_hw=cfg.image_size,
+                mask_hw=cfg.mask_hw, n_class=cfg.segment_class)
+            img = np.asarray(img)
+            fake = self.generate(img)
+            base = os.path.basename(path)
+            # reference saves the real copy through inverse_transform of
+            # [0,1]-range data (model.py:566): reproduce exactly
+            save_images(img * 2.0 - 1.0, [1, 1],
+                        os.path.join(cfg.test_dir, "real_" + base))
+            save_images(fake, [1, 1], os.path.join(cfg.test_dir, base))
+
+    def sample_model(self, epoch: int, idx: int):
+        """Periodic sample dump — parity with model.py:506-525."""
+        cfg = self.cfg
+        files = test_files(self.root)
+        if not files:
+            return
+        rng = np.random.default_rng(cfg.data_seed + epoch * 10000 + idx)
+        rng.shuffle(files)
+        path = files[0]
+        img_u8, seg_u8, cls_u8 = (a[None] for a in load_test_triplet(path))
+        img, _, _, _ = preprocess_test(
+            img_u8, seg_u8, cls_u8, out_hw=cfg.image_size,
+            mask_hw=cfg.mask_hw, n_class=cfg.segment_class)
+        fake = self.generate(np.asarray(img))
+        os.makedirs(cfg.sample_dir, exist_ok=True)
+        name = os.path.basename(path).split(".")[0]
+        save_images(fake, [fake.shape[0], 1],
+                    f"{cfg.sample_dir}/A_{epoch:02d}_{idx:04d}_{name}.jpg")
