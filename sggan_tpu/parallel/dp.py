@@ -1,0 +1,64 @@
+"""Data-parallel train step: shard_map over the ``data`` mesh axis with
+gradient allreduce (pmean -> psum over ICI).
+
+No reference counterpart (the reference is single-device eager,
+SURVEY §2.3); semantics anchor: same train step, bigger global batch.
+Parameters and optimizer states are replicated, the batch is sharded on
+its leading dimension, gradients/metrics/BN stats are averaged across
+shards inside the compiled step, and the image pool keeps per-shard slots
+(its buffer is sharded on the slot dimension; the fill counter advances
+identically on every shard so it stays replicated).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..train.pool import PoolState
+from ..train.step import TrainState, build_step_fn
+from .mesh import DATA_AXIS
+
+
+def _state_spec() -> TrainState:
+    return TrainState(
+        gen_params=P(), gen_bn=P(), disc_params=P(), disc_bn=P(),
+        g_opt=P(), d_opt=P(),
+        pool=PoolState(buffer=P(DATA_AXIS), count=P()),
+        step=P(),
+    )
+
+
+def make_dp_train_step(cfg, mesh: Mesh, donate: Optional[bool] = None):
+    """(state, batch, lr, rng) -> (state, metrics), batch sharded over
+    'data'.  Global batch size must divide by the data axis size."""
+    fn = build_step_fn(cfg, axis_name=DATA_AXIS)
+    spec = _state_spec()
+    mapped = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(spec, P(DATA_AXIS), P(), P()),
+        out_specs=(spec, P()),
+        check_vma=False,
+    )
+    donate = cfg.donate if donate is None else donate
+    return jax.jit(mapped, donate_argnums=(0,) if donate else ())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place a host batch sharded over the data axis."""
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree across the mesh (params/opt states), except the
+    pool buffer which is sharded on its slot dimension."""
+    rep = NamedSharding(mesh, P())
+    placed = jax.device_put(tree, rep)
+    if isinstance(tree, TrainState):
+        buf = jax.device_put(tree.pool.buffer,
+                             NamedSharding(mesh, P(DATA_AXIS)))
+        placed = placed._replace(pool=placed.pool._replace(buffer=buf))
+    return placed

@@ -1,5 +1,6 @@
 from .pool import PoolState, pool_init, pool_update
-from .step import TrainState, make_train_step, init_state, lr_schedule
+from .step import (TrainState, build_step_fn, make_train_step, init_state,
+                   lr_schedule)
 
 __all__ = ["PoolState", "pool_init", "pool_update", "TrainState",
-           "make_train_step", "init_state", "lr_schedule"]
+           "build_step_fn", "make_train_step", "init_state", "lr_schedule"]

@@ -66,7 +66,9 @@ def _dtype(cfg):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
 
-def init_state(cfg, key) -> TrainState:
+def init_state(cfg, key, n_data: int = 1) -> TrainState:
+    """n_data: data-parallel shard count — the image pool keeps max_size
+    slots per shard (buffer leading dim max_size * n_data, sharded)."""
     kg, kd = jax.random.split(key)
     h, w = cfg.image_height, cfg.image_width
     if cfg.use_pix2pix:
@@ -88,8 +90,8 @@ def init_state(cfg, key) -> TrainState:
                                 n_class=cfg.segment_class, image_size=(h, w))
         dbn = {}
     tx = _tx(cfg.beta1)
-    pool = pool_init(cfg.max_size if cfg.loss_mode == "sggan" else 1,
-                     (h, w, cfg.output_nc))
+    pool_slots = (cfg.max_size if cfg.loss_mode == "sggan" else 1) * n_data
+    pool = pool_init(pool_slots, (h, w, cfg.output_nc))
     return TrainState(gp, gbn, dp, dbn, tx.init(gp), tx.init(dp), pool,
                       jnp.zeros((), jnp.int32))
 
@@ -115,17 +117,24 @@ def _disc_fwd(cfg, params, bn, img, mask_or_tar, train):
     return discriminator.apply(params, img, mask_or_tar, compute_dtype=cd), bn
 
 
-def make_train_step(cfg, donate: Optional[bool] = None):
-    """Build the jitted step: (state, batch, lr, rng) -> (state, metrics).
+def build_step_fn(cfg, axis_name: Optional[str] = None):
+    """The un-jitted step body: (state, batch, lr, rng) -> (state, metrics).
 
     batch: {"real_a": (B,H,W,3) [0,1] float, "seg_a": (B,H,W,3),
             "mask_a": (B,hm,wm,n_class)}  (mask unused in pix2pix mode).
+
+    With `axis_name` set the step runs per data-parallel shard inside
+    shard_map: gradients/metrics/BN stats are pmean'd over the axis (the
+    allreduce rides ICI), the RNG is decorrelated per shard, and the image
+    pool keeps a per-shard slot set (buffer sharded on its leading dim).
     """
     deterministic = cfg.dropout_mode == "keras_quirk"
     bn_train = not deterministic
     tx = _tx(cfg.beta1)
 
     def step_fn(state: TrainState, batch, lr, rng):
+        if axis_name is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
         rng_g, rng_pool = jax.random.split(rng)
         real_a = batch["real_a"].astype(jnp.float32)
         seg_a = batch["seg_a"].astype(jnp.float32)
@@ -178,6 +187,13 @@ def make_train_step(cfg, donate: Optional[bool] = None):
         (d_loss, new_dbn), d_grads = jax.value_and_grad(
             disc_loss_fn, has_aux=True)(state.disc_params, state.disc_bn)
 
+        # ---------------- data-parallel allreduce over ICI ----------------
+        if axis_name is not None:
+            pmean = lambda t: jax.lax.pmean(t, axis_name)
+            g_grads, d_grads = pmean(g_grads), pmean(d_grads)
+            new_gbn, new_dbn = pmean(new_gbn), pmean(new_dbn)
+            g_loss, d_loss = pmean(g_loss), pmean(d_loss)
+
         # ---------------- Adam updates ----------------
         g_upd, g_opt = tx.update(g_grads, state.g_opt, state.gen_params)
         g_upd = jax.tree.map(lambda u: -lr * u, g_upd)
@@ -192,5 +208,10 @@ def make_train_step(cfg, donate: Optional[bool] = None):
         metrics = {"gen_loss": g_loss, "disc_loss": d_loss}
         return new_state, metrics
 
+    return step_fn
+
+
+def make_train_step(cfg, donate: Optional[bool] = None):
+    """Jitted single-device step (see build_step_fn)."""
     donate = cfg.donate if donate is None else donate
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    return jax.jit(build_step_fn(cfg), donate_argnums=(0,) if donate else ())
