@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark: full SG-GAN train-step throughput at 256x512 on one chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Baseline (BASELINE.md): 1500 images/sec/chip at 256x512 on TPU v5e — the
+reference itself publishes no throughput numbers, so vs_baseline is
+value / 1500.
+
+Config matches BASELINE config #3: resnet generator + semantic mask-gated
+PatchGAN discriminator, full SG-GAN objective (LSGAN + L1 + gradient-
+sensitive semantic loss + image pool), bf16 compute, jitted with donated
+state.  Batch size is auto-tuned over a small grid.
+"""
+
+import json
+import sys
+import time
+
+
+def bench():
+    import jax
+    import jax.numpy as jnp
+
+    from sggan_tpu.config import Config
+    from sggan_tpu.train import init_state, make_train_step
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    h, w = (256, 512) if on_tpu else (64, 64)  # CPU smoke fallback
+    batches = (8, 16) if on_tpu else (1,)
+    steps = 24 if on_tpu else 2
+
+    best = 0.0
+    for b in batches:
+        cfg = Config(image_height=h, image_width=w, batch_size=b,
+                     loss_mode="sggan", use_resnet=True, segment_class=34,
+                     compute_dtype="bfloat16" if on_tpu else "float32",
+                     max_size=50, donate=True)
+        key = jax.random.PRNGKey(0)
+        state = init_state(cfg, key)
+        step = make_train_step(cfg)
+        hm, wm = cfg.mask_hw
+        batch = {
+            "real_a": jax.random.uniform(key, (b, h, w, 3)),
+            "seg_a": jax.random.uniform(key, (b, h, w, 3)),
+            "mask_a": jax.nn.one_hot(
+                jax.random.randint(key, (b, hm, wm), 0, 34), 34),
+        }
+        lr = jnp.float32(1e-3)
+        try:
+            for i in range(4):  # warmup + compile (+donation recompile)
+                state, m = step(state, batch, lr, jax.random.PRNGKey(i))
+            float(m["gen_loss"])  # host read: force completion
+            # Amortized timing over a chained run ending in a host read —
+            # block_until_ready alone under-reports through async/remote
+            # dispatch layers, so the read is the only trustworthy fence.
+            t0 = time.perf_counter()
+            for i in range(steps):
+                state, m = step(state, batch, lr, jax.random.PRNGKey(i))
+            float(m["gen_loss"])
+            dt = (time.perf_counter() - t0) / steps
+        except Exception as e:  # OOM at large batch: keep best smaller one
+            print(f"batch {b} failed: {type(e).__name__}", file=sys.stderr)
+            break
+        ips = b / dt
+        print(f"batch {b}: {ips:.2f} img/s ({dt * 1e3:.2f} ms/step)",
+              file=sys.stderr)
+        best = max(best, ips)
+
+    print(json.dumps({
+        "metric": "sggan_train_step_images_per_sec_per_chip_256x512",
+        "value": round(best, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(best / 1500.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    bench()

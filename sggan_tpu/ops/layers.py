@@ -75,15 +75,17 @@ def conv2d_init(key, kh: int, kw: int, cin: int, cout: int,
 
 def conv2d(params, x, stride: Stride = 1, padding: str = "SAME",
            compute_dtype=None):
-    """NHWC conv with TF 'SAME'/'VALID' padding semantics."""
+    """NHWC conv with TF 'SAME'/'VALID' padding semantics.  bf16 operands
+    still accumulate in fp32 on the MXU (XLA's default for bf16 convs);
+    the output stays in the compute dtype to keep HBM traffic low."""
     cd = compute_dtype or x.dtype
     w = params["w"]
     y = lax.conv_general_dilated(
         x.astype(cd), w.astype(cd), _pair(stride), padding,
-        dimension_numbers=_DIMS, preferred_element_type=jnp.float32)
+        dimension_numbers=_DIMS)
     if "b" in params:
-        y = y + params["b"].astype(jnp.float32)
-    return y.astype(cd)
+        y = y + params["b"].astype(cd)
+    return y
 
 
 # ----------------------------------------------------------------------
@@ -110,11 +112,10 @@ def conv2d_transpose(params, x, stride: Stride = 1, padding: str = "SAME",
     w = params["w"]  # (kh, kw, cout, cin) == forward-conv HWIO with I=cout
     y = lax.conv_transpose(
         x.astype(cd), w.astype(cd), _pair(stride), padding,
-        dimension_numbers=_DIMS, transpose_kernel=True,
-        preferred_element_type=jnp.float32)
+        dimension_numbers=_DIMS, transpose_kernel=True)
     if "b" in params:
-        y = y + params["b"].astype(jnp.float32)
-    return y.astype(cd)
+        y = y + params["b"].astype(cd)
+    return y
 
 
 # ----------------------------------------------------------------------
@@ -131,11 +132,10 @@ def dense_init(key, cin: int, cout: int, use_bias: bool = True,
 
 def dense(params, x, compute_dtype=None):
     cd = compute_dtype or x.dtype
-    y = jnp.dot(x.astype(cd), params["w"].astype(cd),
-                preferred_element_type=jnp.float32)
+    y = jnp.dot(x.astype(cd), params["w"].astype(cd))
     if "b" in params:
-        y = y + params["b"].astype(jnp.float32)
-    return y.astype(cd)
+        y = y + params["b"].astype(cd)
+    return y
 
 
 # ----------------------------------------------------------------------

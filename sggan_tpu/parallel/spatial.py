@@ -82,11 +82,10 @@ def conv2d_sp(params, x, stride: int, axis_name: str, compute_dtype=None):
     wlo, whi = _tf_same_pads(x.shape[2], k, stride)
     y = lax.conv_general_dilated(
         xh, w.astype(cd), (stride, stride),
-        [(0, 0), (wlo, whi)], dimension_numbers=_DIMS,
-        preferred_element_type=jnp.float32)
+        [(0, 0), (wlo, whi)], dimension_numbers=_DIMS)
     if "b" in params:
-        y = y + params["b"].astype(jnp.float32)
-    return y.astype(cd)
+        y = y + params["b"].astype(cd)
+    return y
 
 
 def conv2d_valid_after_reflect_sp(params, x_padded, axis_name: str,
@@ -97,10 +96,10 @@ def conv2d_valid_after_reflect_sp(params, x_padded, axis_name: str,
     w = params["w"]
     y = lax.conv_general_dilated(
         x_padded.astype(cd), w.astype(cd), (1, 1), "VALID",
-        dimension_numbers=_DIMS, preferred_element_type=jnp.float32)
+        dimension_numbers=_DIMS)
     if "b" in params:
-        y = y + params["b"].astype(jnp.float32)
-    return y.astype(cd)
+        y = y + params["b"].astype(cd)
+    return y
 
 
 def conv2d_transpose_sp(params, x, stride: int, axis_name: str,
@@ -113,12 +112,11 @@ def conv2d_transpose_sp(params, x, stride: int, axis_name: str,
     xh = halo_exchange(x.astype(cd), 1, 1, axis_name)
     y = lax.conv_transpose(
         xh, w.astype(cd), (stride, stride), "SAME",
-        dimension_numbers=_DIMS, transpose_kernel=True,
-        preferred_element_type=jnp.float32)
-    y = y[:, stride:-stride] if stride else y
+        dimension_numbers=_DIMS, transpose_kernel=True)
+    y = y[:, stride:-stride]
     if "b" in params:
-        y = y + params["b"].astype(jnp.float32)
-    return y.astype(cd)
+        y = y + params["b"].astype(cd)
+    return y
 
 
 def instance_norm_sp(params, x, axis_name: str, eps: float = 1e-3,
