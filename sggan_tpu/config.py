@@ -88,7 +88,10 @@ class Config:
     #           criterionGAN (LSGAN/SCE) + L1_lambda·L1 + Lg_lambda·gradloss
     #           with the semantic boundary-weight map (model.py:114-133),
     #           image pool on the discriminator's fake batch.
+    # "cycle" — two-generator cycle-consistency training (train/cycle.py);
+    #           needs trainB/trainB_seg/trainB_seg_class alongside trainA.
     loss_mode: str = "p2p"
+    identity_lambda: float = 5.0       # identity term weight in cycle mode
     data_seed: int = 19                # reference: tf.random.set_seed(19), main.py:4
 
     # ---- TPU-native knobs (no reference counterpart) ----
@@ -161,7 +164,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mask_stride", type=int, default=d.mask_stride)
     _add_bool(p, "test_uint8_input", d.test_uint8_input,
               "reproduce the reference's 0-255-range generator input at test time")
-    p.add_argument("--loss_mode", default=d.loss_mode, choices=["p2p", "sggan"])
+    p.add_argument("--loss_mode", default=d.loss_mode, choices=["p2p", "sggan", "cycle"])
+    p.add_argument("--identity_lambda", type=float, default=d.identity_lambda)
     p.add_argument("--data_seed", type=int, default=d.data_seed)
     p.add_argument("--compute_dtype", default=d.compute_dtype, choices=["bfloat16", "float32"])
     p.add_argument("--mesh_data", type=int, default=d.mesh_data, help="data-parallel mesh axis size")

@@ -74,14 +74,15 @@ def load_batch(paths: List[str], split: str):
 def train_iterator(root: str, batch_size: int, seed: int,
                    use_augmentation: bool = True, epoch: int = 0,
                    train_size: Optional[int] = None,
-                   prefetch: int = 2) -> Iterator[dict]:
+                   prefetch: int = 2, split: str = "trainA"
+                   ) -> Iterator[dict]:
     """One epoch of decoded uint8 batches, shuffled per epoch
     (model.py:220-221), prefetched on a background thread.
 
     Yields {"img": (B', sh, sw, 3) u8, "seg": ..., "cls": (B', sh, sw) u8,
             "aug": (B',) bool} where B' = 2*batch_size when augmenting
     (plain + to-be-augmented duplicate, model.py:240-244)."""
-    ds = Dataset(root, "trainA")
+    ds = Dataset(root, split)
     files = ds.files()
     rng = np.random.default_rng(seed + epoch)
     rng.shuffle(files)
@@ -98,7 +99,7 @@ def train_iterator(root: str, batch_size: int, seed: int,
                 if stop.is_set():
                     return
                 paths = files[b * batch_size:(b + 1) * batch_size]
-                img, seg, cls = load_batch(paths, "trainA")
+                img, seg, cls = load_batch(paths, split)
                 if use_augmentation:
                     img = np.concatenate([img, img])
                     seg = np.concatenate([seg, seg])

@@ -44,8 +44,14 @@ class Trainer:
         self.cfg = cfg
         self.root = _dataset_root(cfg)
         self.key = jax.random.PRNGKey(cfg.data_seed)
-        self.state: TrainState = init_state(cfg, self.key)
-        self.step_fn = make_train_step(cfg)
+        self.cycle = cfg.loss_mode == "cycle"
+        if self.cycle:
+            from .cycle import init_cycle_state, make_cycle_train_step
+            self.state: TrainState = init_cycle_state(cfg, self.key)
+            self.step_fn = make_cycle_train_step(cfg)
+        else:
+            self.state = init_state(cfg, self.key)
+            self.step_fn = make_train_step(cfg)
         self.preprocess = make_preprocess_train(cfg)
         self._gen_jit = jax.jit(self._gen_forward)
 
@@ -53,6 +59,10 @@ class Trainer:
     def _gen_forward(self, gen_params, gen_bn, x):
         cfg = self.cfg
         cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        if self.cycle:
+            # A->B generator, honouring --which_direction (main.py:29)
+            key = "a2b" if cfg.which_direction == "AtoB" else "b2a"
+            gen_params = gen_params[key]
         if cfg.use_pix2pix:
             y, _ = generator_pix2pix.apply(gen_params, gen_bn, x,
                                            compute_dtype=cd, ngf=cfg.ngf)
@@ -101,10 +111,28 @@ class Trainer:
                                     use_augmentation=cfg.use_augmentation,
                                     epoch=epoch, train_size=cfg.train_size,
                                     prefetch=cfg.prefetch)
+                if self.cycle:
+                    it_b = train_iterator(
+                        self.root, cfg.batch_size, cfg.data_seed + 7919,
+                        use_augmentation=cfg.use_augmentation, epoch=epoch,
+                        train_size=cfg.train_size, prefetch=cfg.prefetch,
+                        split="trainB")
+                    it = zip(it, it_b)
                 for idx, raw in enumerate(it):
                     self.key, k_pre, k_step = jax.random.split(self.key, 3)
-                    batch = self.preprocess(raw["img"], raw["seg"],
-                                            raw["cls"], k_pre, raw["aug"])
+                    if self.cycle:
+                        raw_a, raw_b = raw
+                        k_a, k_b = jax.random.split(k_pre)
+                        batch = self.preprocess(raw_a["img"], raw_a["seg"],
+                                                raw_a["cls"], k_a,
+                                                raw_a["aug"])
+                        bb = self.preprocess(raw_b["img"], raw_b["seg"],
+                                             raw_b["cls"], k_b, raw_b["aug"])
+                        batch = dict(batch, real_b=bb["real_a"],
+                                     seg_b=bb["seg_a"], mask_b=bb["mask_a"])
+                    else:
+                        batch = self.preprocess(raw["img"], raw["seg"],
+                                                raw["cls"], k_pre, raw["aug"])
                     self.state, m = self.step_fn(self.state, batch, lr,
                                                  k_step)
                     g_losses.append(m["gen_loss"])
