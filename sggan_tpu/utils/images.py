@@ -56,6 +56,31 @@ def get_img(image, size) -> np.ndarray:
     return img.reshape(1, *img.shape)
 
 
+def merge_images(images, size) -> np.ndarray:
+    """Legacy alias (utils.py:257-258)."""
+    return inverse_transform(images)
+
+
+def center_crop(x, crop_h, crop_w=None, resize_h=64, resize_w=64):
+    """Legacy center-crop+resize (utils.py:280-289), PIL instead of
+    scipy.misc.imresize."""
+    if crop_w is None:
+        crop_w = crop_h
+    h, w = x.shape[:2]
+    j = int(round((h - crop_h) / 2.0))
+    i = int(round((w - crop_w) / 2.0))
+    patch = np.asarray(x)[j:j + crop_h, i:i + crop_w]
+    img = Image.fromarray(patch.astype(np.uint8))
+    return np.asarray(img.resize((resize_w, resize_h), Image.BILINEAR))
+
+
+def transform(image, npx: int = 64, is_crop: bool = True, resize_w: int = 64):
+    """Legacy transform (utils.py:291-298): optional center crop then
+    scale to [-1, 1] via x*2 - 1."""
+    cropped = center_crop(image, npx, resize_w=resize_w) if is_crop else image
+    return np.array(cropped) * 2 - 1.0
+
+
 def one_hot(image_in: np.ndarray, num_classes: int = 8) -> np.ndarray:
     """Host one-hot of a (H, W) class-id map — utils.py:158-165.
     (Training-path one-hot happens on device; this is the offline/test
