@@ -56,9 +56,11 @@ def instance_norm(params, x, eps: float = IN_EPS, act: Optional[str] = None,
         use_pallas = _on_tpu()
     if use_pallas:
         try:
-            from .pallas_in import instance_norm_pallas
-            return instance_norm_pallas(x, gamma, beta, eps=eps, act=act,
-                                        alpha=alpha)
+            from .pallas_in import instance_norm_pallas, supported
+            if use_pallas is True and not supported(x):
+                # narrow channel counts lose to XLA (see pallas_in.supported)
+                return _instance_norm_xla(x, gamma, beta, eps, act, alpha)
+            return instance_norm_pallas(x, gamma, beta, eps, act, alpha)
         except ImportError:
             pass
     return _instance_norm_xla(x, gamma, beta, eps, act, alpha)

@@ -36,6 +36,14 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_BUDGET = 1024 * 1024
 
 
+def supported(x) -> bool:
+    """Shapes where the kernel beats XLA: full 128-lane channel blocks.
+    Narrow channel counts (e.g. the first 64-filter layers) would need a
+    lane-folding relayout that costs a full HBM copy — measured 2x slower
+    than XLA's fusion — so those dispatch to the XLA path instead."""
+    return x.shape[-1] % 128 == 0 and (x.shape[1] * x.shape[2]) % 8 == 0
+
+
 def _pick_s_chunk(s: int, c: int, itemsize: int) -> int:
     target = max(_VMEM_BUDGET // (c * itemsize), 512)
     best = 8
@@ -49,9 +57,7 @@ def _pick_s_chunk(s: int, c: int, itemsize: int) -> int:
 
 def _in_kernel(x_ref, gamma_ref, beta_ref, o_ref, s1, s2, *,
                n_sc: int, inv_n: float, eps: float, act: Optional[str],
-               alpha: float, fold: int):
-    """fold > 1 means `fold` spatial rows are packed into the lane axis
-    (lane layout [c * fold]); per-channel stats fold the groups back."""
+               alpha: float):
     phase = pl.program_id(2)
     sc = pl.program_id(3)
 
@@ -69,24 +75,8 @@ def _in_kernel(x_ref, gamma_ref, beta_ref, o_ref, s1, s2, *,
     @pl.when(phase == 1)
     def _():
         xf = x_ref[0].astype(jnp.float32)
-        lanes = s1.shape[-1]
-        c = lanes // fold
-        if fold > 1:
-            # Fold groups live at lanes [g*c:(g+1)*c].  A log-step circular
-            # lane roll sums the groups in place AND broadcasts the result
-            # to every group (fold is a power of two) — Mosaic has no
-            # lane->sublane reshape, so this stays a pure lane shuffle.
-            t1, t2 = s1[:], s2[:]
-            sh = c
-            while sh < lanes:
-                t1 = t1 + pltpu.roll(t1, sh, 1)
-                t2 = t2 + pltpu.roll(t2, sh, 1)
-                sh *= 2
-            mean = t1 * inv_n
-            msq = t2 * inv_n
-        else:
-            mean = s1[:] * inv_n
-            msq = s2[:] * inv_n
+        mean = s1[:] * inv_n
+        msq = s2[:] * inv_n
         var = jnp.maximum(msq - mean * mean, 0.0)
         y = (xf - mean) * jax.lax.rsqrt(var + eps)
         y = y * gamma_ref[:].astype(jnp.float32) \
@@ -102,37 +92,17 @@ def _pallas_forward(x, gamma, beta, eps: float, act: Optional[str],
                     alpha: float):
     n, h, w, c = x.shape
     s = h * w
-    # Lane folding: with c < 128 lanes would sit half-empty; pack `fold`
-    # consecutive spatial rows into the lane axis and fold the stats.
-    fold = 1
-    if c < 128 and 128 % c == 0:
-        fold = 128 // c
-        while fold > 1 and s % fold:
-            fold //= 2
-    s_eff, c_eff = s // fold, c * fold
-    xs = x.reshape(n, s_eff, c_eff)
-    c_block = c_eff if c_eff % 128 else 128
-    s_chunk = _pick_s_chunk(s_eff, c_block, x.dtype.itemsize)
-    n_sc = s_eff // s_chunk
-    grid = (n, c_eff // c_block, 2, n_sc)
-
-    # NOTE with fold > 1 every fold group must live in one c_block; true
-    # because c_block is either all lanes or a multiple of c*fold... the
-    # simple safe case: fold only when c_eff == c_block.
-    if fold > 1 and c_eff != c_block:
-        fold, s_eff, c_eff = 1, s, c
-        xs = x.reshape(n, s, c)
-        c_block = c_eff if c_eff % 128 else 128
-        s_chunk = _pick_s_chunk(s_eff, c_block, x.dtype.itemsize)
-        n_sc = s_eff // s_chunk
-        grid = (n, c_eff // c_block, 2, n_sc)
+    xs = x.reshape(n, s, c)
+    c_block = c if c % 128 else 128
+    s_chunk = _pick_s_chunk(s, c_block, x.dtype.itemsize)
+    n_sc = s // s_chunk
+    grid = (n, c // c_block, 2, n_sc)
 
     kernel = functools.partial(
-        _in_kernel, n_sc=n_sc, inv_n=1.0 / s, eps=eps, act=act, alpha=alpha,
-        fold=fold)
+        _in_kernel, n_sc=n_sc, inv_n=1.0 / s, eps=eps, act=act, alpha=alpha)
 
-    gamma_t = jnp.tile(gamma, fold).reshape(1, c_eff)
-    beta_t = jnp.tile(beta, fold).reshape(1, c_eff)
+    gamma_t = gamma.reshape(1, c)
+    beta_t = beta.reshape(1, c)
 
     out = pl.pallas_call(
         kernel,
@@ -149,7 +119,7 @@ def _pallas_forward(x, gamma, beta, eps: float, act: Optional[str],
         out_specs=pl.BlockSpec((1, s_chunk, c_block),
                                lambda n, cb, p, sc: (n, sc, cb),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, s_eff, c_eff), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, s, c), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((1, c_block), jnp.float32),
             pltpu.VMEM((1, c_block), jnp.float32),
