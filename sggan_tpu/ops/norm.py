@@ -49,11 +49,16 @@ def instance_norm(params, x, eps: float = IN_EPS, act: Optional[str] = None,
     """Instance norm with optional fused activation.
 
     act: None | 'relu' | 'leaky_relu' (alpha = Keras default 0.3).
-    use_pallas: None = auto (TPU only), True/False forces.
+    use_pallas: True opts into the Pallas kernel (TPU, C%128==0 only).
+    Default is the XLA path: the standalone kernel is ~34% faster than
+    XLA's fusion at C>=128, but inside a full train step the custom call
+    acts as a fusion barrier (XLA folds the normalize phase into conv
+    epilogues) and measured ~6% slower end-to-end — see step_bench notes
+    in bench.py history.
     """
     gamma, beta = params["gamma"], params["beta"]
     if use_pallas is None:
-        use_pallas = _on_tpu()
+        use_pallas = False
     if use_pallas:
         try:
             from .pallas_in import instance_norm_pallas, supported

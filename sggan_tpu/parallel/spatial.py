@@ -154,6 +154,48 @@ def reflect_pad_sp(x, p: int, axis_name: str):
     return jnp.pad(y, [(0, 0), (0, 0), (p, p), (0, 0)], mode="reflect")
 
 
+def depthwise_conv2d_sp(x, w_tf, axis_name: str, padding: str = "SAME"):
+    """tf.nn.depthwise_conv2d on an H-sharded block (k=3).  SAME exchanges
+    one halo row per side; VALID expects the rows already provided
+    (reflect_pad_sp)."""
+    kh, kw, c, mult = w_tf.shape
+    w = w_tf.reshape(kh, kw, 1, c * mult)
+    xf = x.astype(jnp.float32)
+    if padding == "SAME":
+        xf = halo_exchange(xf, (kh - 1) // 2, kh // 2, axis_name)
+        wpad = _tf_same_pads(x.shape[2], kw, 1)
+    else:
+        wpad = (0, 0)
+    return lax.conv_general_dilated(
+        xf, w.astype(jnp.float32), (1, 1), [(0, 0), wpad],
+        dimension_numbers=_DIMS, feature_group_count=c)
+
+
+def tf_deriv_sp(x, axis_name: str):
+    """Sobel derivative stack on an H-sharded block (ops.deriv.tf_deriv)."""
+    from ..ops.deriv import deriv_kernel_sobel
+    return depthwise_conv2d_sp(x, deriv_kernel_sobel(x.shape[-1]), axis_name)
+
+
+def seg_boundary_weight_sp(seg, axis_name: str):
+    """Class-boundary weight map on an H-sharded seg block
+    (ops.deriv.seg_boundary_weight)."""
+    from ..ops.deriv import deriv_kernel_diff
+    segp = reflect_pad_sp(seg.astype(jnp.float32), 1, axis_name)
+    conved = jnp.abs(depthwise_conv2d_sp(
+        segp, deriv_kernel_diff(seg.shape[-1]), axis_name, padding="VALID"))
+    return jnp.abs(jnp.sign(jnp.sum(conved, axis=-1, keepdims=True)))
+
+
+def gradloss_criterion_sp(in_, target, weight, axis_name: str):
+    """losses.gradloss_criterion with spatially-sharded derivatives; the
+    mean is local — aggregate grads/losses with pmean over the axis."""
+    d = jnp.abs(jnp.abs(tf_deriv_sp(in_, axis_name))
+                - jnp.abs(tf_deriv_sp(target, axis_name)))
+    d = jnp.mean(d, axis=-1, keepdims=True)
+    return jnp.mean(weight * d)
+
+
 # --------------------------------------------- spatially-sharded forwards
 
 def generator_resnet_sp(params, x, axis_name: str, compute_dtype=None):

@@ -1,0 +1,153 @@
+"""Fully sharded (data x space) SG-GAN train step.
+
+The batch axis is sharded over mesh axis ``data`` AND the image H axis over
+mesh axis ``space`` — 2-D SPMD for native-resolution training.  Built on
+the spatially-sharded resnet generator and patch-head semantic
+discriminator (spatial.py); instance-norm moments psum over ``space``,
+halo rows travel by ppermute, and gradients/losses pmean over both axes
+(per-shard local-mean losses aggregate exactly because every loss term is
+a mean over equal-sized shards; cross-shard dependency gradients flow
+through the collective transposes).
+
+Restrictions (round-1 scope, asserted at build): resnet generator (no
+dropout RNG to synchronize across space shards), sggan loss, semantic
+discriminator with the paper-style stride-8 patch head (the reference's
+global VALID chain does not split spatially).  The image pool keeps
+per-(data-shard) slots holding H-sharded fakes; pool RNG is folded by the
+data index only so all space shards of one data shard make identical slot
+decisions.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import losses
+from ..models import discriminator
+from ..train.pool import PoolState, pool_init, pool_update
+from ..train.step import TrainState, _dtype, _tx
+from .mesh import DATA_AXIS, SPACE_AXIS
+from . import spatial
+
+
+def init_sp_state(cfg, key, n_data: int = 1) -> TrainState:
+    from ..models import generator_resnet
+    kg, kd = jax.random.split(key)
+    h, w = cfg.image_height, cfg.image_width
+    gp = generator_resnet.init(kg, ngf=cfg.ngf, input_nc=cfg.input_nc,
+                               output_nc=cfg.output_nc)
+    dp = discriminator.init(kd, ndf=cfg.ndf, input_nc=cfg.input_nc,
+                            n_class=cfg.segment_class, image_size=(h, w),
+                            head="patch")
+    tx = _tx(cfg.beta1)
+    pool = pool_init(max(cfg.max_size, 1) * n_data, (h, w, cfg.output_nc))
+    return TrainState(gp, {}, dp, {}, tx.init(gp), tx.init(dp), pool,
+                      jnp.zeros((), jnp.int32))
+
+
+def build_sp_step_fn(cfg, data_axis: str = DATA_AXIS,
+                     space_axis: str = SPACE_AXIS):
+    assert cfg.use_resnet, "spatial step supports the resnet generator"
+    cd = _dtype(cfg)
+    tx = _tx(cfg.beta1)
+    crit = losses.criterion_gan(cfg.use_lsgan)
+    axes = (data_axis, space_axis)
+
+    def step_fn(state: TrainState, batch, lr, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
+        rng_pool = rng  # shared across space shards of one data shard
+        real_a = batch["real_a"].astype(jnp.float32)
+        seg_a = batch["seg_a"].astype(jnp.float32)
+        mask_a = batch["mask_a"]
+        w_a = spatial.seg_boundary_weight_sp(seg_a, space_axis)
+
+        def gen_loss_fn(gp):
+            fake = spatial.generator_resnet_sp(gp, real_a, space_axis, cd)
+            da_fake = spatial.discriminator_sp(state.disc_params, fake,
+                                               mask_a, space_axis, cd)
+            g = crit(da_fake, jnp.ones_like(da_fake))
+            g = g + cfg.L1_lambda * losses.abs_criterion(real_a, fake)
+            if cfg.Lg_lambda:
+                g = g + cfg.Lg_lambda * spatial.gradloss_criterion_sp(
+                    fake, real_a, w_a, space_axis)
+            return g, fake
+
+        (g_loss, fake), g_grads = jax.value_and_grad(
+            gen_loss_fn, has_aux=True)(state.gen_params)
+
+        fake_sg = jax.lax.stop_gradient(fake)
+        if cfg.max_size > 0:
+            new_pool, fake_for_d = pool_update(state.pool, rng_pool, fake_sg)
+        else:
+            new_pool, fake_for_d = state.pool, fake_sg
+
+        def disc_loss_fn(dpm):
+            da_real = spatial.discriminator_sp(dpm, seg_a, mask_a,
+                                               space_axis, cd)
+            da_fake_s = spatial.discriminator_sp(dpm, fake_for_d, mask_a,
+                                                 space_axis, cd)
+            return losses.disc_loss_sggan(da_real, da_fake_s,
+                                          use_lsgan=cfg.use_lsgan)
+
+        d_loss, d_grads = jax.value_and_grad(disc_loss_fn)(state.disc_params)
+
+        pmean = lambda t: jax.lax.pmean(t, axes)
+        g_grads, d_grads = pmean(g_grads), pmean(d_grads)
+        g_loss, d_loss = pmean(g_loss), pmean(d_loss)
+
+        g_upd, g_opt = tx.update(g_grads, state.g_opt, state.gen_params)
+        gen_params = optax.apply_updates(
+            state.gen_params, jax.tree.map(lambda u: -lr * u, g_upd))
+        d_upd, d_opt = tx.update(d_grads, state.d_opt, state.disc_params)
+        disc_params = optax.apply_updates(
+            state.disc_params, jax.tree.map(lambda u: -lr * u, d_upd))
+
+        new_state = TrainState(gen_params, {}, disc_params, {}, g_opt,
+                               d_opt, new_pool, state.step + 1)
+        return new_state, {"gen_loss": g_loss, "disc_loss": d_loss}
+
+    return step_fn
+
+
+def _sp_state_spec() -> TrainState:
+    return TrainState(
+        gen_params=P(), gen_bn=P(), disc_params=P(), disc_bn=P(),
+        g_opt=P(), d_opt=P(),
+        pool=PoolState(buffer=P(DATA_AXIS, SPACE_AXIS), count=P()),
+        step=P(),
+    )
+
+
+BATCH_SPEC = P(DATA_AXIS, SPACE_AXIS)  # (B, H, W, C): B over data, H over space
+
+
+def make_sp_train_step(cfg, mesh: Mesh, donate: Optional[bool] = None):
+    fn = build_sp_step_fn(cfg)
+    spec = _sp_state_spec()
+    mapped = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(spec, BATCH_SPEC, P(), P()),
+        out_specs=(spec, P()),
+        check_vma=False,
+    )
+    donate = cfg.donate if donate is None else donate
+    return jax.jit(mapped, donate_argnums=(0,) if donate else ())
+
+
+def place_sp(state: TrainState, mesh: Mesh) -> TrainState:
+    rep = NamedSharding(mesh, P())
+    placed = jax.device_put(state, rep)
+    buf = jax.device_put(
+        state.pool.buffer,
+        NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS)))
+    return placed._replace(pool=placed.pool._replace(buffer=buf))
+
+
+def shard_sp_batch(batch: dict, mesh: Mesh) -> dict:
+    sh = NamedSharding(mesh, BATCH_SPEC)
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}
