@@ -179,20 +179,29 @@ class Trainer:
             return None, None
         os.makedirs(cfg.test_dir, exist_ok=True)
         gts, preds, outputs = [], [], []
-        for path in files:
-            img_u8, seg_u8, cls_u8 = (a[None] for a in
-                                      load_test_triplet(path))
+        # batch the eval (the reference runs one generator forward per
+        # file, model.py:323-347); chunks keep a static compiled shape
+        chunk = 8
+        for c0 in range(0, len(files), chunk):
+            paths = files[c0:c0 + chunk]
+            trips = [load_test_triplet(p) for p in paths]
+            img_u8 = np.stack([t[0] for t in trips])
+            seg_u8 = np.stack([t[1] for t in trips])
+            cls_u8 = np.stack([t[2] for t in trips])
             img, seg, _, _ = preprocess_test(
                 img_u8, seg_u8, cls_u8, out_hw=cfg.image_size,
                 mask_hw=cfg.mask_hw, n_class=cfg.segment_class)
-            fake = self.generate(np.asarray(img))
-            save_images(fake, [1, 1],
-                        os.path.join(cfg.test_dir, os.path.basename(path)))
-            fake_img = get_img(fake, [1, 1])
-            outputs.append(fake_img[0])
-            lt, lp = scores_seg_fake(np.asarray(seg), fake_img)
-            gts += list(lt)
-            preds += list(lp)
+            fakes = self.generate(np.asarray(img))
+            seg = np.asarray(seg)
+            for i, path in enumerate(paths):
+                fake = fakes[i:i + 1]
+                save_images(fake, [1, 1], os.path.join(
+                    cfg.test_dir, os.path.basename(path)))
+                fake_img = get_img(fake, [1, 1])
+                outputs.append(fake_img[0])
+                lt, lp = scores_seg_fake(seg[i:i + 1], fake_img)
+                gts += list(lt)
+                preds += list(lp)
         score = scores(gts, preds, n_class=cfg.segment_class)
         if writer is not None:
             writer.scalar("Overall Accuracy", score["Overall Acc"], epoch)
