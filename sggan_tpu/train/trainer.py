@@ -45,7 +45,25 @@ class Trainer:
         self.root = _dataset_root(cfg)
         self.key = jax.random.PRNGKey(cfg.data_seed)
         self.cycle = cfg.loss_mode == "cycle"
-        if self.cycle:
+        self.mesh = None
+        self._shard_batch = lambda b: b
+        n_data = max(cfg.mesh_data, 1)
+        if n_data > 1:
+            # data-parallel training over a device mesh (dp.py); the
+            # global batch (batch_size, x2 with augmentation) must divide
+            # by the data axis.
+            from ..parallel import make_dp_train_step, make_mesh, \
+                replicate, shard_batch
+            if self.cycle:
+                raise NotImplementedError(
+                    "mesh_data>1 with loss_mode=cycle: use "
+                    "parallel.dp with train.cycle.build_cycle_step_fn")
+            self.mesh = make_mesh(data=n_data, space=1)
+            self.state = replicate(
+                init_state(cfg, self.key, n_data=n_data), self.mesh)
+            self.step_fn = make_dp_train_step(cfg, self.mesh)
+            self._shard_batch = lambda b: shard_batch(b, self.mesh)
+        elif self.cycle:
             from .cycle import init_cycle_state, make_cycle_train_step
             self.state: TrainState = init_cycle_state(cfg, self.key)
             self.step_fn = make_cycle_train_step(cfg)
@@ -133,6 +151,7 @@ class Trainer:
                     else:
                         batch = self.preprocess(raw["img"], raw["seg"],
                                                 raw["cls"], k_pre, raw["aug"])
+                    batch = self._shard_batch(batch)
                     self.state, m = self.step_fn(self.state, batch, lr,
                                                  k_step)
                     g_losses.append(m["gen_loss"])
