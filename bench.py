@@ -28,8 +28,36 @@ def bench():
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
     h, w = (256, 512) if on_tpu else (64, 64)  # CPU smoke fallback
-    batches = (8, 16) if on_tpu else (1,)
+    batches = (16, 24) if on_tpu else (1,)
     steps = 24 if on_tpu else 2
+
+    # secondary metric (BASELINE config #4): fused device-side input
+    # pipeline at 512x1024 source resolution — stderr only
+    try:
+        import time as _t
+        from sggan_tpu.data.preprocess import preprocess_train
+        bpp = 8 if on_tpu else 1
+        sh, sw = (512, 1024) if on_tpu else (64, 64)
+        img = jax.random.randint(jax.random.PRNGKey(0),
+                                 (bpp, sh, sw, 3), 0, 255, jnp.uint8)
+        cls = jax.random.randint(jax.random.PRNGKey(1),
+                                 (bpp, sh, sw), 0, 34, jnp.uint8)
+        aug = jnp.ones((bpp,), bool)
+        kw = dict(out_hw=(h, w), mask_hw=(h // 8, w // 8), n_class=34)
+        out = preprocess_train(img, img, cls, jax.random.PRNGKey(2), aug,
+                               **kw)
+        float(out["real_a"].sum())
+        t0 = _t.perf_counter()
+        for i in range(10):
+            out = preprocess_train(img, img, cls, jax.random.PRNGKey(i),
+                                   aug, **kw)
+        float(out["real_a"].sum())
+        pdt = (_t.perf_counter() - t0) / 10
+        print(f"preprocess 512x1024->{h}x{w}: {bpp / pdt:.1f} img/s "
+              f"({pdt * 1e3:.2f} ms/batch of {bpp})", file=sys.stderr)
+    except Exception as e:
+        print(f"preprocess bench failed: {type(e).__name__}",
+              file=sys.stderr)
 
     best = 0.0
     for b in batches:
