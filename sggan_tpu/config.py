@@ -92,6 +92,10 @@ class Config:
     #           needs trainB/trainB_seg/trainB_seg_class alongside trainA.
     loss_mode: str = "p2p"
     identity_lambda: float = 5.0       # identity term weight in cycle mode
+    # Dense-CRF refinement of eval predictions (the reference builds this
+    # machinery, metric.py:49-69 + model.py:278-305, but leaves the call
+    # sites commented out; this wires it for real).
+    eval_crf: bool = False
     data_seed: int = 19                # reference: tf.random.set_seed(19), main.py:4
 
     # ---- TPU-native knobs (no reference counterpart) ----
@@ -166,6 +170,8 @@ def build_parser() -> argparse.ArgumentParser:
               "reproduce the reference's 0-255-range generator input at test time")
     p.add_argument("--loss_mode", default=d.loss_mode, choices=["p2p", "sggan", "cycle"])
     p.add_argument("--identity_lambda", type=float, default=d.identity_lambda)
+    _add_bool(p, "eval_crf", d.eval_crf,
+              "apply dense-CRF refinement to eval predictions")
     p.add_argument("--data_seed", type=int, default=d.data_seed)
     p.add_argument("--compute_dtype", default=d.compute_dtype, choices=["bfloat16", "float32"])
     p.add_argument("--mesh_data", type=int, default=d.mesh_data, help="data-parallel mesh axis size")

@@ -48,7 +48,23 @@ class Trainer:
         self.mesh = None
         self._shard_batch = lambda b: b
         n_data = max(cfg.mesh_data, 1)
-        if n_data > 1:
+        n_space = max(cfg.mesh_space, 1)
+        if n_space > 1:
+            # 2-D (data x space) sharding: batch over `data`, image H over
+            # `space` with halo exchange (parallel/spatial_step.py).
+            from ..parallel import make_mesh
+            from ..parallel.spatial_step import (init_sp_state,
+                                                 make_sp_train_step,
+                                                 place_sp, shard_sp_batch)
+            if not (cfg.loss_mode == "sggan" and cfg.use_resnet):
+                raise NotImplementedError(
+                    "mesh_space>1 requires --loss_mode sggan --use_resnet")
+            self.mesh = make_mesh(data=n_data, space=n_space)
+            self.state = place_sp(
+                init_sp_state(cfg, self.key, n_data=n_data), self.mesh)
+            self.step_fn = make_sp_train_step(cfg, self.mesh)
+            self._shard_batch = lambda b: shard_sp_batch(b, self.mesh)
+        elif n_data > 1:
             # data-parallel training over a device mesh (dp.py); the
             # global batch (batch_size, x2 with augmentation) must divide
             # by the data axis.
@@ -212,12 +228,25 @@ class Trainer:
                 mask_hw=cfg.mask_hw, n_class=cfg.segment_class)
             fakes = self.generate(np.asarray(img))
             seg = np.asarray(seg)
+            img = np.asarray(img)
             for i, path in enumerate(paths):
                 fake = fakes[i:i + 1]
                 save_images(fake, [1, 1], os.path.join(
                     cfg.test_dir, os.path.basename(path)))
                 fake_img = get_img(fake, [1, 1])
                 outputs.append(fake_img[0])
+                if cfg.eval_crf:
+                    # refine the fake's per-channel scores with the dense
+                    # CRF against the input photo (realizes the dormant
+                    # get_labels(crf=True) path, model.py:278-305)
+                    from ..metrics.crf import dense_crf
+                    sample_u8 = (img[i] * 255).astype(np.uint8)
+                    probs = np.ascontiguousarray(
+                        fake_img[0].astype(np.float32).transpose(2, 0, 1)
+                        / 255.0)
+                    q = dense_crf(sample_u8, probs)
+                    fake_img = (np.ascontiguousarray(
+                        q.transpose(1, 2, 0))[None] * 255).astype(np.uint8)
                 lt, lp = scores_seg_fake(seg[i:i + 1], fake_img)
                 gts += list(lt)
                 preds += list(lp)

@@ -1,0 +1,69 @@
+"""Trainer integration for the 2-D sharded step (--mesh_space) and the
+dense-CRF eval refinement (--eval_crf)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from sggan_tpu.config import Config
+from sggan_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def ds(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds") / "m"
+    rng = np.random.default_rng(3)
+    for split, n in [("trainA", 4), ("testA", 1)]:
+        for sub in ["", "_seg", "_seg_class"]:
+            os.makedirs(root / f"{split}{sub}", exist_ok=True)
+        for i in range(n):
+            name = f"t{i}.png"
+            Image.fromarray(rng.integers(0, 255, (32, 32, 3), np.uint8)
+                            ).save(root / split / name)
+            Image.fromarray(rng.integers(0, 255, (32, 32, 3), np.uint8)
+                            ).save(root / f"{split}_seg" / name)
+            Image.fromarray(rng.integers(0, 8, (32, 32), np.uint8),
+                            mode="L").save(root / f"{split}_seg_class" / name)
+    return str(root)
+
+
+def base_cfg(ds, tmp_path, **kw):
+    d = dict(dataset_dir=ds, epoch=1, batch_size=2, image_height=32,
+             image_width=32, ngf=4, ndf=4, segment_class=8,
+             compute_dtype="float32", max_size=2, save_freq=0,
+             print_freq=100, use_augmentation=True,
+             checkpoint_dir=str(tmp_path / "ckpt"),
+             sample_dir=str(tmp_path / "sample"),
+             test_dir=str(tmp_path / "test"),
+             log_dir=str(tmp_path / "logs"))
+    d.update(kw)
+    return Config(**d)
+
+
+def test_trainer_mesh_space(ds, tmp_path):
+    cfg = base_cfg(ds, tmp_path, loss_mode="sggan", use_resnet=True,
+                   mesh_data=2, mesh_space=2)
+    t = Trainer(cfg)
+    assert t.mesh.devices.shape == (2, 2)
+    res = t.train()
+    assert np.isfinite(res["gen_loss"])
+    assert os.listdir(cfg.test_dir)  # eval still works on sharded state
+
+
+def test_trainer_mesh_space_requires_resnet(ds, tmp_path):
+    cfg = base_cfg(ds, tmp_path, mesh_space=2)  # p2p unet
+    with pytest.raises(NotImplementedError):
+        Trainer(cfg)
+
+
+def test_eval_crf(ds, tmp_path):
+    pytest.importorskip("ctypes")
+    from sggan_tpu.metrics import crf
+    if crf._load_native() is None:
+        pytest.skip("native CRF unavailable")
+    cfg = base_cfg(ds, tmp_path, eval_crf=True)
+    t = Trainer(cfg)
+    _, score = t.test_during_train(0)
+    assert 0.0 <= score["Overall Acc"] <= 1.0
