@@ -296,13 +296,16 @@ class Trainer:
             return
         rng = np.random.default_rng(cfg.data_seed + epoch * 10000 + idx)
         rng.shuffle(files)
-        path = files[0]
-        img_u8, seg_u8, cls_u8 = (a[None] for a in load_test_triplet(path))
+        paths = files[: cfg.batch_size]  # model.py:509: batch of samples
+        trips = [load_test_triplet(p) for p in paths]
+        img_u8 = np.stack([t[0] for t in trips])
+        seg_u8 = np.stack([t[1] for t in trips])
+        cls_u8 = np.stack([t[2] for t in trips])
         img, _, _, _ = preprocess_test(
             img_u8, seg_u8, cls_u8, out_hw=cfg.image_size,
             mask_hw=cfg.mask_hw, n_class=cfg.segment_class)
         fake = self.generate(np.asarray(img))
         os.makedirs(cfg.sample_dir, exist_ok=True)
-        name = os.path.basename(path).split(".")[0]
+        name = os.path.basename(paths[0]).split(".")[0]
         save_images(fake, [fake.shape[0], 1],
                     f"{cfg.sample_dir}/A_{epoch:02d}_{idx:04d}_{name}.jpg")

@@ -61,6 +61,20 @@ def merge_images(images, size) -> np.ndarray:
     return inverse_transform(images)
 
 
+def plot_tensors(t1, t2, title, name1, name2):
+    """Side-by-side label plot (debug scaffolding, utils.py:316-327)."""
+    import matplotlib.pyplot as plt
+    fig = plt.figure(1)
+    ax1 = plt.subplot(1, 2, 1)
+    plt.imshow(t1)
+    ax1.set_title(name1)
+    ax2 = plt.subplot(1, 2, 2)
+    plt.imshow(t2)
+    ax2.set_title(name2)
+    fig.suptitle(title)
+    plt.show()
+
+
 def center_crop(x, crop_h, crop_w=None, resize_h=64, resize_w=64):
     """Legacy center-crop+resize (utils.py:280-289), PIL instead of
     scipy.misc.imresize."""
