@@ -126,10 +126,17 @@ def build_cycle_step_fn(cfg, axis_name: Optional[str] = None):
         fake_a_s, fake_b_s = pooled[:, 0], pooled[:, 1]
 
         def disc_loss_fn(dp):
-            d_real_a = d_apply(dp["da"], real_a, mask_a)
-            d_real_b = d_apply(dp["db"], real_b, mask_b)
-            d_fake_a = d_apply(dp["da"], fake_a_s, mask_b)
-            d_fake_b = d_apply(dp["db"], fake_b_s, mask_a)
+            # batched D calls over [real; fake] per domain (per-sample IN
+            # makes this exactly equal to separate calls)
+            n = real_a.shape[0]
+            both_a = d_apply(dp["da"],
+                             jnp.concatenate([real_a, fake_a_s], axis=0),
+                             jnp.concatenate([mask_a, mask_b], axis=0))
+            both_b = d_apply(dp["db"],
+                             jnp.concatenate([real_b, fake_b_s], axis=0),
+                             jnp.concatenate([mask_b, mask_a], axis=0))
+            d_real_a, d_fake_a = both_a[:n], both_a[n:]
+            d_real_b, d_fake_b = both_b[:n], both_b[n:]
             da = (crit(d_real_a, jnp.ones_like(d_real_a))
                   + crit(d_fake_a, jnp.zeros_like(d_fake_a))) / 2.0
             db = (crit(d_real_b, jnp.ones_like(d_real_b))

@@ -174,9 +174,15 @@ def build_step_fn(cfg, axis_name: Optional[str] = None):
                 da_fake_s, dbn2 = _disc_fwd(cfg, dp, dbn1, seg_a, fake_for_d,
                                             train=bn_train)
             else:
-                da_real, dbn1 = _disc_fwd(cfg, dp, dbn, seg_a, mask_a, False)
-                da_fake_s, dbn2 = _disc_fwd(cfg, dp, dbn1, fake_for_d, mask_a,
-                                            False)
+                # one batched D call over [real; fake] — instance norm is
+                # per-sample so numerics match two separate calls, and the
+                # convs run at double batch (better MXU utilization)
+                both, dbn2 = _disc_fwd(
+                    cfg, dp, dbn,
+                    jnp.concatenate([seg_a, fake_for_d], axis=0),
+                    jnp.concatenate([mask_a, mask_a], axis=0), False)
+                n = seg_a.shape[0]
+                da_real, da_fake_s = both[:n], both[n:]
             if cfg.loss_mode == "sggan":
                 loss = losses.disc_loss_sggan(da_real, da_fake_s,
                                               use_lsgan=cfg.use_lsgan)
