@@ -72,6 +72,20 @@ def random_affine_params(key, h: int, w: int,
     return AffineParams(matrix=matrix, flip=flip)
 
 
+def conjugate_affine(params: AffineParams, src_hw, out_hw) -> AffineParams:
+    """Re-express an affine sampled in src (e.g. square-resized) pixel
+    coordinates so it can be applied on the out_hw grid instead:
+    with D = diag(src/out), M' = D^-1 M D and c' = D^-1 c.  Exactly the
+    same geometry, so the warp can run after the (cheaper) downscale."""
+    d = jnp.array([src_hw[0] / out_hw[0], src_hw[1] / out_hw[1]],
+                  jnp.float32)
+    m, c = params.matrix[:, :2], params.matrix[:, 2]
+    m2 = (m * d[None, :]) / d[:, None]
+    c2 = c / d
+    return AffineParams(matrix=jnp.concatenate([m2, c2[:, None]], axis=1),
+                        flip=params.flip)
+
+
 def affine_warp(img, params: AffineParams, order: int = 1):
     """Apply the affine map with a single bilinear gather.
     img: (H, W, C) float. Returns same shape."""

@@ -30,7 +30,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .augment import AffineParams, affine_warp, random_affine_params
+from .augment import (AffineParams, affine_warp, conjugate_affine,
+                      random_affine_params)
 
 
 def _identity_params() -> AffineParams:
@@ -63,16 +64,22 @@ def preprocess_train(img_u8, seg_u8, cls_u8, key, aug_flags, *,
     img = img_u8.astype(jnp.float32) / 255.0
     seg = seg_u8.astype(jnp.float32) / 255.0
 
-    # square resize to (sh, sh) — utils.py:172-173
-    img = _resize(img, (sh, sh))
-    seg = _resize(seg, (sh, sh))
+    # The reference chain is: square resize to (sh, sh) -> imgaug warp ->
+    # resize to (H, W) (utils.py:172-196).  The net geometry is identical
+    # to a single antialiased resize to (H, W) followed by the SAME affine
+    # conjugated into output coordinates (augment.conjugate_affine), and
+    # the warp is always a zoom-in (crop 20-40%/side) so no aliasing is
+    # introduced by warping after the downscale.  This runs the expensive
+    # bilinear gather on 4-16x fewer pixels.
+    img = _resize(img, out_hw)
+    seg = _resize(seg, out_hw)
 
-    # per-sample augmentation warp (identity when not augmenting)
     k_aug, k_flip = jax.random.split(key)
     aug_keys = jax.random.split(k_aug, b)
 
     def one(im, sg, k, flag):
-        p = random_affine_params(k, sh, sh)
+        p = random_affine_params(k, sh, sh)  # reference's square-res frame
+        p = conjugate_affine(p, (sh, sh), out_hw)
         ident = _identity_params()
         p = AffineParams(matrix=jnp.where(flag, p.matrix, ident.matrix),
                          flip=jnp.logical_and(flag, p.flip))
@@ -80,10 +87,6 @@ def preprocess_train(img_u8, seg_u8, cls_u8, key, aug_flags, *,
         return both[..., :3], both[..., 3:]
 
     img, seg = jax.vmap(one)(img, seg, aug_keys, aug_flags)
-
-    # final resize to training resolution — utils.py:195-196
-    img = _resize(img, out_hw)
-    seg = _resize(seg, out_hw)
 
     mask = _one_hot_mask(cls_u8, mask_hw, n_class)
 

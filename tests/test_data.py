@@ -197,3 +197,29 @@ def test_loader_seg_rgba_sliced(fixture_ds):
     img, seg, cls = loader._load_triplet(files[0], "trainA")
     assert seg.shape[-1] == 3  # RGBA sliced to RGB
     assert cls.ndim == 2
+
+
+def test_conjugated_warp_matches_square_res_warp():
+    """Warping at output resolution with the conjugated affine must give
+    (approximately, up to interpolation ordering) the same image as the
+    reference chain: warp at square res, then resize."""
+    key = jax.random.PRNGKey(11)
+    rngn = np.random.default_rng(12)
+    sh = 64
+    out_hw = (32, 48)
+    img_sq = jnp.asarray(rngn.uniform(size=(sh, sh, 3)).astype(np.float32))
+    # smooth the image so bilinear-interp order differences stay small
+    img_sq = jax.image.resize(
+        jax.image.resize(img_sq, (8, 8, 3), "linear", antialias=True),
+        (sh, sh, 3), "linear")
+
+    p = augment.random_affine_params(key, sh, sh)
+    # reference order: warp at square res -> resize down
+    ref = jax.image.resize(augment.affine_warp(img_sq, p),
+                           (*out_hw, 3), "linear", antialias=True)
+    # ours: resize down -> conjugated warp
+    small = jax.image.resize(img_sq, (*out_hw, 3), "linear", antialias=True)
+    got = augment.affine_warp(small, augment.conjugate_affine(
+        p, (sh, sh), out_hw))
+    err = float(jnp.mean(jnp.abs(ref - got)))
+    assert err < 0.02, err
