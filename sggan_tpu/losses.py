@@ -18,7 +18,6 @@ Everything reduces with jnp.mean over all elements, matching the TF ops.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from .ops.deriv import seg_boundary_weight, tf_deriv

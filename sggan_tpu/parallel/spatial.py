@@ -28,11 +28,10 @@ from __future__ import annotations
 
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.layers import leaky_relu, relu, tanh
+from ..ops.layers import leaky_relu, tanh
 
 _DIMS = ("NHWC", "HWIO", "NHWC")
 

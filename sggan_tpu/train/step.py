@@ -22,7 +22,6 @@ Adam epsilon is 1e-7 (Keras default) rather than optax's 1e-8.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple, Optional
 
 import jax

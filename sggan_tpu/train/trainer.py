@@ -14,7 +14,6 @@ from __future__ import annotations
 import datetime
 import os
 import time
-from glob import glob
 from typing import Optional
 
 import jax
@@ -25,10 +24,9 @@ from ..config import Config
 from ..data.loader import load_test_triplet, test_files, train_iterator
 from ..data.preprocess import make_preprocess_train, preprocess_test
 from ..metrics.scores import scores, scores_seg_fake
-from ..models import (discriminator_pix2pix, generator_pix2pix,
-                      generator_resnet, generator_unet)
+from ..models import generator_pix2pix, generator_resnet, generator_unet
 from ..utils import checkpoint as ckpt
-from ..utils.images import get_img, inverse_transform, save_images
+from ..utils.images import get_img, save_images
 from ..utils.summary import SummaryWriter
 from .step import TrainState, init_state, lr_schedule, make_train_step
 

@@ -17,7 +17,6 @@ import re
 import shutil
 from typing import Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 from ..train.step import TrainState
