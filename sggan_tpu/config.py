@@ -121,6 +121,39 @@ class Config:
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
 
+    def validate(self) -> "Config":
+        """Raise early with actionable messages (the reference fails deep
+        inside TF with shape errors instead — SURVEY §3.4)."""
+        if self.image_height % self.mask_stride or \
+                self.image_width % self.mask_stride:
+            raise ValueError(
+                f"image size {self.image_size} must be divisible by "
+                f"mask_stride={self.mask_stride}")
+        if self.phase == "train" and not self.use_pix2pix:
+            # three stride-2 convs in the semantic discriminator
+            if self.image_height % 8 or self.image_width % 8:
+                raise ValueError(
+                    f"image size {self.image_size} must be divisible by 8 "
+                    "for the semantic discriminator")
+        if self.mesh_space > 1:
+            per = self.image_height // self.mesh_space
+            if self.image_height % self.mesh_space or per % 8:
+                raise ValueError(
+                    f"image_height={self.image_height} must split into "
+                    f"mesh_space={self.mesh_space} shards of a multiple "
+                    "of 8 rows")
+        if self.mesh_data > 1:
+            eff = self.batch_size * (2 if self.use_augmentation else 1)
+            if eff % self.mesh_data:
+                raise ValueError(
+                    f"effective batch {eff} (batch_size"
+                    f"{' x2 augmentation' if self.use_augmentation else ''})"
+                    f" must divide by mesh_data={self.mesh_data}")
+        if self.loss_mode == "cycle" and self.use_pix2pix:
+            raise ValueError("loss_mode=cycle uses the semantic nets; "
+                             "drop --use_pix2pix")
+        return self
+
 
 def _add_bool(p: argparse.ArgumentParser, name: str, default: bool, help: str):
     p.add_argument(f"--{name}", dest=name, action=argparse.BooleanOptionalAction,

@@ -39,7 +39,7 @@ def _dataset_root(cfg: Config) -> str:
 
 class Trainer:
     def __init__(self, cfg: Config):
-        self.cfg = cfg
+        self.cfg = cfg.validate()
         self.root = _dataset_root(cfg)
         self.key = jax.random.PRNGKey(cfg.data_seed)
         self.cycle = cfg.loss_mode == "cycle"

@@ -62,9 +62,12 @@ def save(state: TrainState, checkpoint_dir: str, dataset_dir: str,
         if os.path.exists(path):
             shutil.rmtree(path)
         ckptr.save(path, tree)
-        for old in _steps(d)[:-MAX_TO_KEEP]:
-            shutil.rmtree(os.path.join(d, f"cp-{old:04d}"),
-                          ignore_errors=True)
+        # prune by epoch threshold — the async save above may not be
+        # listed yet, so counting directory entries under-prunes
+        for old in _steps(d):
+            if old <= epoch - MAX_TO_KEEP:
+                shutil.rmtree(os.path.join(d, f"cp-{old:04d}"),
+                              ignore_errors=True)
     ckptr.wait_until_finished()
 
 
