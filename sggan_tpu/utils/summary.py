@@ -116,6 +116,78 @@ def _event(step: int, summary_values: bytes = b"", file_version: str = "",
 
 # ----------------------------------------------------------------- writer
 
+def _parse_fields(buf: bytes) -> dict:
+    """Minimal proto wire-format parser: {field_number: [values]}."""
+    fields: dict = {}
+    i = 0
+    while i < len(buf):
+        key = 0
+        shift = 0
+        while True:
+            b = buf[i]
+            i += 1
+            key |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                break
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            v = 0
+            shift = 0
+            while True:
+                b = buf[i]
+                i += 1
+                v |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+        elif wire == 1:
+            v = struct.unpack("<d", buf[i:i + 8])[0]
+            i += 8
+        elif wire == 5:
+            v = struct.unpack("<f", buf[i:i + 4])[0]
+            i += 4
+        elif wire == 2:
+            ln = 0
+            shift = 0
+            while True:
+                b = buf[i]
+                i += 1
+                ln |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+            v = buf[i:i + ln]
+            i += ln
+        else:
+            raise ValueError(f"wire type {wire}")
+        fields.setdefault(field, []).append(v)
+    return fields
+
+
+def read_scalars(event_file: str) -> dict:
+    """Read back {tag: [(step, value), ...]} from a tfevents file (ours or
+    TensorFlow's, as long as records are uncompressed)."""
+    out: dict = {}
+    with open(event_file, "rb") as f:
+        while True:
+            header = f.read(8)
+            if len(header) < 8:
+                return out
+            (length,) = struct.unpack("<Q", header)
+            f.read(4)  # header crc
+            payload = f.read(length)
+            f.read(4)  # payload crc
+            ev = _parse_fields(payload)
+            step = ev.get(2, [0])[0]
+            for summ in ev.get(5, []):
+                for val in _parse_fields(summ).get(1, []):
+                    vf = _parse_fields(val)
+                    if 2 in vf:  # simple_value
+                        tag = vf[1][0].decode()
+                        out.setdefault(tag, []).append((step, vf[2][0]))
+
+
 class SummaryWriter:
     """Minimal tf.summary.create_file_writer equivalent."""
 

@@ -158,3 +158,15 @@ def test_trainer_mesh_data(tmp_path):
     assert t.mesh is not None and t.mesh.devices.size == 4
     res = t.train()
     assert np.isfinite(res["gen_loss"])
+
+
+def test_read_scalars_roundtrip(tmp_path):
+    w = summary.SummaryWriter(str(tmp_path))
+    for s in range(3):
+        w.scalar("Mean IoU", 0.1 * s, s)
+    w.close()
+    f = os.path.join(tmp_path, os.listdir(tmp_path)[0])
+    back = summary.read_scalars(f)
+    assert [x[0] for x in back["Mean IoU"]] == [0, 1, 2]
+    np.testing.assert_allclose([x[1] for x in back["Mean IoU"]],
+                               [0.0, 0.1, 0.2], atol=1e-6)
