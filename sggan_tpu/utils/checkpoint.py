@@ -26,7 +26,12 @@ MAX_TO_KEEP = 3  # parity with the dormant CheckpointManager (model.py:88-89)
 
 
 def _ckpt_root(checkpoint_dir: str, dataset_dir: str) -> str:
-    return os.path.abspath(os.path.join(checkpoint_dir, dataset_dir))
+    # dataset_dir may be an absolute path (the CLI accepts both "city" and
+    # "/data/city"); os.path.join would discard checkpoint_dir for absolute
+    # paths and write checkpoints INTO the dataset — use the dataset NAME,
+    # matching the reference's checkpoint/<dataset>/ layout (model.py:455).
+    name = os.path.basename(os.path.normpath(dataset_dir))
+    return os.path.abspath(os.path.join(checkpoint_dir, name))
 
 
 def _steps(path: str):

@@ -42,3 +42,20 @@ def test_checkpoint_max_to_keep(tmp_path):
     np.testing.assert_allclose(
         np.asarray(jax.tree_util.tree_leaves(restored.gen_params)[0]),
         np.asarray(jax.tree_util.tree_leaves(state.gen_params)[0]))
+
+
+def test_checkpoint_absolute_dataset_dir(tmp_path):
+    """Absolute --dataset_dir must NOT redirect checkpoints into the
+    dataset directory (regression: os.path.join discards the checkpoint
+    root for absolute second components)."""
+    cfg = Config(image_height=32, image_width=32, ngf=4, ndf=4,
+                 segment_class=8, compute_dtype="float32")
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    ds_abs = str(tmp_path / "data" / "city")
+    ck = str(tmp_path / "ckpt")
+    ckpt.save(state, ck, ds_abs, 0)
+    import os
+    assert os.path.isdir(os.path.join(ck, "city", "gen", "cp-0000"))
+    assert not os.path.exists(os.path.join(ds_abs, "gen"))
+    assert ckpt.latest_epoch(ck, ds_abs) == 0
+    assert ckpt.load(state, ck, ds_abs) is not None
