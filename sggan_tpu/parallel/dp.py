@@ -34,7 +34,11 @@ def _state_spec() -> TrainState:
 def make_dp_train_step(cfg, mesh: Mesh, donate: Optional[bool] = None):
     """(state, batch, lr, rng) -> (state, metrics), batch sharded over
     'data'.  Global batch size must divide by the data axis size."""
-    fn = build_step_fn(cfg, axis_name=DATA_AXIS)
+    if cfg.loss_mode == "cycle":
+        from ..train.cycle import build_cycle_step_fn
+        fn = build_cycle_step_fn(cfg, axis_name=DATA_AXIS)
+    else:
+        fn = build_step_fn(cfg, axis_name=DATA_AXIS)
     spec = _state_spec()
     mapped = jax.shard_map(
         fn, mesh=mesh,

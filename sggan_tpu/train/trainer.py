@@ -68,13 +68,15 @@ class Trainer:
             # by the data axis.
             from ..parallel import make_dp_train_step, make_mesh, \
                 replicate, shard_batch
-            if self.cycle:
-                raise NotImplementedError(
-                    "mesh_data>1 with loss_mode=cycle: use "
-                    "parallel.dp with train.cycle.build_cycle_step_fn")
             self.mesh = make_mesh(data=n_data, space=1)
-            self.state = replicate(
-                init_state(cfg, self.key, n_data=n_data), self.mesh)
+            if self.cycle:
+                from .cycle import init_cycle_state
+                self.state = replicate(
+                    init_cycle_state(cfg, self.key, n_data=n_data),
+                    self.mesh)
+            else:
+                self.state = replicate(
+                    init_state(cfg, self.key, n_data=n_data), self.mesh)
             self.step_fn = make_dp_train_step(cfg, self.mesh)
             self._shard_batch = lambda b: shard_batch(b, self.mesh)
         elif self.cycle:

@@ -121,3 +121,18 @@ def test_cycle_trainer_e2e(cycle_ds, tmp_path):
     assert res["epoch"] == 0 and np.isfinite(res["gen_loss"])
     # eval used the a2b generator and wrote fakes
     assert os.listdir(cfg.test_dir)
+
+
+def test_cycle_dp_via_make_dp_train_step():
+    from sggan_tpu.parallel import make_dp_train_step, make_mesh, \
+        replicate, shard_batch
+    from sggan_tpu.train.cycle import init_cycle_state
+    cfg = cfg_(batch_size=4, dropout_mode="keras_quirk")
+    mesh = make_mesh(data=2, space=1, devices=jax.devices()[:2])
+    state = replicate(init_cycle_state(cfg, jax.random.PRNGKey(0),
+                                       n_data=2), mesh)
+    step = make_dp_train_step(cfg, mesh, donate=False)
+    batch = shard_batch(make_batch(cfg, jax.random.PRNGKey(1)), mesh)
+    state, m = step(state, batch, jnp.float32(1e-3), jax.random.PRNGKey(2))
+    assert np.isfinite(float(m["gen_loss"]))
+    assert int(state.step) == 1
