@@ -228,6 +228,30 @@ def generator_resnet_sp(params, x, axis_name: str, compute_dtype=None):
     return tanh(y.astype(jnp.float32))
 
 
+def generator_unet_sp(params, x, axis_name: str, compute_dtype=None):
+    """generator_unet.apply on an H-sharded block — every conv is 3x3
+    stride-1 SAME so halos are one row each way.  Dropout is not applied
+    (equivalent to deterministic=True; per-shard dropout RNG would be
+    valid — masks are per-pixel — but eval/serving paths are the target
+    here)."""
+    cd = compute_dtype or x.dtype
+    y = x.astype(cd)
+    enc = []
+    for i in range(1, 9):
+        y = conv2d_sp(params[f"e{i}"], y, 1, axis_name, cd)
+        act = "relu" if i == 8 else "leaky_relu"
+        y = instance_norm_sp(params[f"e{i}_in"], y, axis_name, act=act)
+        enc.append(y)
+    for i in range(1, 8):
+        y = conv2d_transpose_sp(params[f"d{i}"], y, 1, axis_name, cd)
+        y = instance_norm_sp(params[f"d{i}_in"], y, axis_name)
+        y = y + enc[7 - i]
+        if i in (3, 7):
+            y = jnp.maximum(y, 0)
+    y = conv2d_transpose_sp(params["d8"], y, 1, axis_name, cd)
+    return tanh(y.astype(jnp.float32))
+
+
 def discriminator_sp(params, x, mask, axis_name: str, compute_dtype=None):
     """Semantic discriminator with the paper-style stride-8 patch head
     (the reference's global VALID chain does not split spatially; init the

@@ -114,3 +114,16 @@ def test_discriminator_sp_matches_patch_head():
         mesh, (P(), SHARD_H, SHARD_H), SHARD_H, p, x, mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_generator_unet_sp_matches():
+    from sggan_tpu.models import generator_unet
+    mesh = sp_mesh()
+    p = generator_unet.init(KEY, ngf=4)
+    x = jax.random.uniform(jax.random.PRNGKey(8), (1, 32, 32, 3))
+    ref = generator_unet.apply(p, x, deterministic=True)
+    got = run_sharded(
+        functools.partial(spatial.generator_unet_sp, axis_name=AX),
+        mesh, (P(), SHARD_H), SHARD_H, p, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
