@@ -223,3 +223,21 @@ def test_conjugated_warp_matches_square_res_warp():
         p, (sh, sh), out_hw))
     err = float(jnp.mean(jnp.abs(ref - got)))
     assert err < 0.02, err
+
+
+def test_train_iterator_train_size_limit(fixture_ds):
+    batches = list(loader.train_iterator(fixture_ds, batch_size=1, seed=0,
+                                         use_augmentation=False,
+                                         train_size=3))
+    assert len(batches) == 3
+
+
+def test_preprocess_nonsquare_source_and_odd_batch():
+    rngn = np.random.default_rng(9)
+    img = rngn.integers(0, 255, (3, 40, 72, 3), np.uint8)
+    cls = rngn.integers(0, 8, (3, 40, 72), np.uint8)
+    out = preprocess.preprocess_train(
+        img, img, cls, jax.random.PRNGKey(0), np.array([True, False, True]),
+        out_hw=(24, 48), mask_hw=(3, 6), n_class=8)
+    assert out["real_a"].shape == (3, 24, 48, 3)
+    assert np.isfinite(np.asarray(out["real_a"])).all()
