@@ -2,12 +2,14 @@
 ``generator_pix2pix`` (module.py:48-95), resolution-parametric.
 
 Structure at 128x128 (the reference's fixed size): 7 downsample blocks
-(conv4 s2 SAME, no bias, BN except the first, LeakyReLU) to 1x1, then —
-because the reference zips 7 upsample blocks against only 6 retained skips
-(module.py:86-91, zip truncates) — 6 upsample blocks (convT4 s2 SAME, no
-bias, BN, dropout 0.5 on the first three, ReLU) with CONCAT skips, and a
-final convT4 s2 -> output_nc, tanh.  All kernels RandomNormal(0, 0.02)
-(module.py:15,30,71).
+(conv4 s2 SAME, no bias, BN except the first, LeakyReLU; filters
+[64,128,256,512,512,512,512]) to 1x1, then — because the reference zips 7
+upsample blocks against only 6 retained skips (module.py:86-91, zip
+truncates) — 6 upsample blocks (convT4 s2 SAME, no bias, BN, dropout 0.5
+on the first three, ReLU; filters [512,512,512,512,256,128] = the explicit
+up_stack at module.py:61-69 minus its truncated last entry) with CONCAT
+skips, and a final convT4 s2 seeing 128+64=192 input channels ->
+output_nc, tanh.  All kernels RandomNormal(0, 0.02) (module.py:15,30,71).
 
 Batch-norm state (moving stats) is threaded functionally: ``apply`` returns
 ``(y, new_state)``.  The reference never updates these stats (its Keras
@@ -36,9 +38,11 @@ def _plan(image_size: int, ngf: int) -> Tuple[list, list]:
     down = []
     for i in range(n_down):
         down.append(min(ngf * (2 ** i), ngf * 8))
-    # reference: up_stack has n_down entries but zip with n_down-1 skips
-    # drops the last one -> n_down-1 upsample blocks actually run.
-    up = list(reversed(down[:-1]))[: n_down - 1]
+    # reference: up_stack mirrors the full down stack (module.py:61-69 is
+    # [8,8,8,8,4,2,1]*ngf capped at 8*ngf = reversed(down)), but zip with
+    # the n_down-1 retained skips truncates the LAST entry -> n_down-1
+    # upsample blocks actually run, with filters reversed(down)[:-1].
+    up = list(reversed(down))[: n_down - 1]
     return down, up
 
 
@@ -57,6 +61,7 @@ def init(key, ngf: int = 64, input_nc: int = 3, output_nc: int = 3,
             state[f"down{i}_bn"] = {"moving_mean": bn["moving_mean"],
                                     "moving_var": bn["moving_var"]}
         cin = c
+    skip_chs = list(reversed(down[:-1]))  # concat partners, per up block
     for i, c in enumerate(up):
         p[f"up{i}"] = conv2d_transpose_init(next(keys), 4, 4, cin, c,
                                             use_bias=False, kernel_init=_INIT,
@@ -65,7 +70,7 @@ def init(key, ngf: int = 64, input_nc: int = 3, output_nc: int = 3,
         p[f"up{i}_bn"] = {"gamma": bn["gamma"], "beta": bn["beta"]}
         state[f"up{i}_bn"] = {"moving_mean": bn["moving_mean"],
                               "moving_var": bn["moving_var"]}
-        cin = c * 2  # concat skip
+        cin = c + skip_chs[i]  # concat skip (192 into `last` at 128x128)
     p["last"] = conv2d_transpose_init(next(keys), 4, 4, cin, output_nc,
                                       kernel_init=_INIT, dtype=dtype)
     return p, state

@@ -54,6 +54,19 @@ def test_generator_pix2pix_shapes():
     assert moved
 
 
+def test_generator_pix2pix_channel_plan():
+    """Reference decoder plan at 128x128 (module.py:51-69): up filters are
+    reversed(down) zip-truncated = [512,512,512,512,256,128], and the last
+    convT sees 128+64=192 input channels."""
+    p, _ = generator_pix2pix.init(KEY, ngf=64, image_size=128)
+    down = [p[f"down{i}"]["w"].shape[3] for i in range(7)]
+    assert down == [64, 128, 256, 512, 512, 512, 512]
+    # conv-transpose kernels are (kh, kw, out, in)
+    up = [p[f"up{i}"]["w"].shape[2] for i in range(6)]
+    assert up == [512, 512, 512, 512, 256, 128]
+    assert p["last"]["w"].shape == (4, 4, 3, 192)
+
+
 def test_discriminator_semantic_gating():
     """The mask gate must select exactly the class channel's score
     (module.py:311-314 semantics).
