@@ -81,6 +81,19 @@ class Config:
     # but [0,1]-range floats at TRAIN time — a train/test input-scale
     # mismatch (SURVEY §3.2).  True reproduces it; False feeds [0,1].
     test_uint8_input: bool = True
+    # The reference's eval multiplies the already-uint8 fake by 255 before
+    # argmax (metric.py:75), wrapping mod 256 — True reproduces the wrap so
+    # scores are comparable to reference-produced numbers; False argmaxes
+    # the raw channels (the obvious intent).
+    compat_eval_overflow: bool = False
+    # The reference's non-p2p train step accumulates fake batches by
+    # concatenation up to 10 entries then resets (model.py:175-179) — an
+    # inline ImagePool substitute with different dynamics (the D sees the
+    # same growing history every step).  True reproduces those dynamics as
+    # a fixed-shape 10-slot FIFO-with-reset in loss_mode="p2p"; False (the
+    # default) uses the current fake, which is what the reference's p2p
+    # losses actually consume.
+    compat_fake_history: bool = False
 
     # ---- loss / trainer mode ----
     # "p2p"  — the reference's *active* path: BCE GAN + 100·L1 (model.py:149-166)
@@ -96,6 +109,11 @@ class Config:
     # machinery, metric.py:49-69 + model.py:278-305, but leaves the call
     # sites commented out; this wires it for real).
     eval_crf: bool = False
+    # Photometric augmentation — the imgaug seq1 pipeline the reference
+    # builds but never applies (utils.py:57-73: blur/contrast/additive
+    # noise/brightness).  Realized as PRNG-keyed device-side transforms on
+    # the photo only (seg/mask geometry is untouched by photometric ops).
+    use_photometric: bool = False
     data_seed: int = 19                # reference: tf.random.set_seed(19), main.py:4
 
     # ---- TPU-native knobs (no reference counterpart) ----
@@ -106,6 +124,10 @@ class Config:
     donate: bool = True                # donate train-state buffers under jit
     use_pallas: Optional[bool] = None  # None = auto (TPU only)
     prefetch: int = 2                  # host->device pipeline depth
+    # Decoded-triplet RAM cache budget (MB); epochs >= 2 skip PNG decode
+    # entirely.  0 disables.  (This host has 1 CPU core — decode, not the
+    # device step, bounds real-data training without the cache.)
+    decode_cache_mb: int = 8192
     log_dir: str = "logs"
 
     # ---- derived ----
@@ -201,6 +223,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mask_stride", type=int, default=d.mask_stride)
     _add_bool(p, "test_uint8_input", d.test_uint8_input,
               "reproduce the reference's 0-255-range generator input at test time")
+    _add_bool(p, "compat_eval_overflow", d.compat_eval_overflow,
+              "reproduce the reference's uint8 wrap before eval argmax (metric.py:75)")
+    _add_bool(p, "compat_fake_history", d.compat_fake_history,
+              "reproduce the reference's concat-to-10-then-reset fake history (model.py:175-179)")
+    _add_bool(p, "use_photometric", d.use_photometric,
+              "photometric augmentation (the reference's dormant imgaug seq1)")
     p.add_argument("--loss_mode", default=d.loss_mode, choices=["p2p", "sggan", "cycle"])
     p.add_argument("--identity_lambda", type=float, default=d.identity_lambda)
     _add_bool(p, "eval_crf", d.eval_crf,
@@ -210,6 +238,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_data", type=int, default=d.mesh_data, help="data-parallel mesh axis size")
     p.add_argument("--mesh_space", type=int, default=d.mesh_space, help="spatial mesh axis size")
     _add_bool(p, "donate", d.donate, "donate train-state buffers under jit")
+    p.add_argument("--decode_cache_mb", type=int, default=d.decode_cache_mb,
+                   help="decoded-image RAM cache budget (MB), 0 disables")
     p.add_argument("--log_dir", default=d.log_dir)
     return p
 

@@ -86,6 +86,34 @@ def disc_loss_p2p(da_real, da_fake):
             + bce_from_logits(jnp.zeros_like(da_fake), da_fake))
 
 
+def _masked_entry_mean(x, valid):
+    """Mean over valid history entries (x: (K, ...) reduced to per-entry
+    means; equals one flat mean over the valid prefix since all entries
+    have identical element counts)."""
+    per = jnp.mean(x.reshape(x.shape[0], -1).astype(jnp.float32), axis=1)
+    v = valid.astype(jnp.float32)
+    return jnp.sum(per * v) / jnp.maximum(jnp.sum(v), 1.0)
+
+
+def gen_loss_p2p_hist(da_hist, hist, seg_hist, valid):
+    """gen_loss_p2p over a fixed-shape fake-history buffer with a
+    valid-prefix mask — the jittable form of the reference's concat-
+    accumulated fake_A (model.py:175-179 feeding model.py:149-158) for
+    Config.compat_fake_history."""
+    gan = _masked_entry_mean(sigmoid_ce(da_hist, jnp.ones_like(da_hist)),
+                             valid)
+    l1 = _masked_entry_mean(jnp.abs(seg_hist.astype(jnp.float32)
+                                    - hist.astype(jnp.float32)), valid)
+    return gan + P2P_LAMBDA * l1
+
+
+def disc_loss_p2p_hist(da_real, da_hist, valid):
+    """disc_loss_p2p with the fake branch over the history buffer."""
+    return (bce_from_logits(jnp.ones_like(da_real), da_real)
+            + _masked_entry_mean(
+                sigmoid_ce(da_hist, jnp.zeros_like(da_hist)), valid))
+
+
 # ------------------------------------------------ full SG-GAN objective
 
 def gen_loss_sggan(da_fake, real_a, fake_a, seg_a, *, use_lsgan: bool,

@@ -58,8 +58,12 @@ def init_cycle_state(cfg, key, n_data: int = 1) -> TrainState:
                                    n_class=cfg.segment_class,
                                    image_size=(h, w))}
     tx = _tx(cfg.beta1)
+    # one pool entry = the (fake_a, fake_b) pair PLUS the source masks they
+    # were generated under, so pooled fakes are gated with their own masks
+    hm, wm = cfg.mask_hw
     pool = pool_init(max(cfg.max_size, 1) * n_data,
-                     (2, h, w, cfg.output_nc))  # stacked (fake_a, fake_b)
+                     {"fakes": (2, h, w, cfg.output_nc),
+                      "masks": (2, hm, wm, cfg.segment_class)})
     return TrainState(gp, {}, dp, {}, tx.init(gp), tx.init(dp), pool,
                       jnp.zeros((), jnp.int32))
 
@@ -117,13 +121,18 @@ def build_cycle_step_fn(cfg, axis_name: Optional[str] = None):
         (g_loss, (fake_a, fake_b)), g_grads = jax.value_and_grad(
             gen_loss_fn, has_aux=True)(state.gen_params)
 
-        pair = jax.lax.stop_gradient(
-            jnp.stack([fake_a, fake_b], axis=1))  # (B, 2, H, W, C)
+        entry = {
+            "fakes": jax.lax.stop_gradient(
+                jnp.stack([fake_a, fake_b], axis=1)),      # (B, 2, H, W, C)
+            # fake_a came from real_b (gated by mask_b), fake_b from real_a
+            "masks": jnp.stack([mask_b, mask_a], axis=1),
+        }
         if cfg.max_size > 0:
-            new_pool, pooled = pool_update(state.pool, rng_pool, pair)
+            new_pool, pooled = pool_update(state.pool, rng_pool, entry)
         else:
-            new_pool, pooled = state.pool, pair
-        fake_a_s, fake_b_s = pooled[:, 0], pooled[:, 1]
+            new_pool, pooled = state.pool, entry
+        fake_a_s, fake_b_s = pooled["fakes"][:, 0], pooled["fakes"][:, 1]
+        mask_fa, mask_fb = pooled["masks"][:, 0], pooled["masks"][:, 1]
 
         def disc_loss_fn(dp):
             # batched D calls over [real; fake] per domain (per-sample IN
@@ -131,10 +140,10 @@ def build_cycle_step_fn(cfg, axis_name: Optional[str] = None):
             n = real_a.shape[0]
             both_a = d_apply(dp["da"],
                              jnp.concatenate([real_a, fake_a_s], axis=0),
-                             jnp.concatenate([mask_a, mask_b], axis=0))
+                             jnp.concatenate([mask_a, mask_fa], axis=0))
             both_b = d_apply(dp["db"],
                              jnp.concatenate([real_b, fake_b_s], axis=0),
-                             jnp.concatenate([mask_b, mask_a], axis=0))
+                             jnp.concatenate([mask_b, mask_fb], axis=0))
             d_real_a, d_fake_a = both_a[:n], both_a[n:]
             d_real_b, d_fake_b = both_b[:n], both_b[n:]
             da = (crit(d_real_a, jnp.ones_like(d_real_a))

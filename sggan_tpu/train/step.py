@@ -65,6 +65,13 @@ def _dtype(cfg):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
 
+def _compat_hist(cfg) -> bool:
+    """True when the step reproduces the reference's concat-to-10-then-
+    reset fake history (model.py:175-179) — p2p mode, semantic nets."""
+    return (cfg.loss_mode == "p2p" and cfg.compat_fake_history
+            and not cfg.use_pix2pix)
+
+
 def init_state(cfg, key, n_data: int = 1) -> TrainState:
     """n_data: data-parallel shard count — the image pool keeps max_size
     slots per shard (buffer leading dim max_size * n_data, sharded)."""
@@ -90,7 +97,20 @@ def init_state(cfg, key, n_data: int = 1) -> TrainState:
         dbn = {}
     tx = _tx(cfg.beta1)
     pool_slots = (cfg.max_size if cfg.loss_mode == "sggan" else 1) * n_data
-    pool = pool_init(pool_slots, (h, w, cfg.output_nc))
+    if _compat_hist(cfg):
+        # fixed-shape buffer for the reference's concat-accumulated fake
+        # history (model.py:175-179): count grows by the effective batch
+        # until >= 10, then resets — max prefix is 9 + batch entries.
+        b_eff = cfg.batch_size * (2 if cfg.use_augmentation else 1)
+        pool = pool_init(9 + b_eff, (h, w, cfg.output_nc))
+    elif cfg.loss_mode == "sggan" and not cfg.use_pix2pix:
+        # pool (fake, mask) pairs so a historical fake is judged against
+        # the semantic mask it was generated under
+        hm, wm = cfg.mask_hw
+        pool = pool_init(pool_slots, {"fake": (h, w, cfg.output_nc),
+                                      "mask": (hm, wm, cfg.segment_class)})
+    else:
+        pool = pool_init(pool_slots, (h, w, cfg.output_nc))
     return TrainState(gp, gbn, dp, dbn, tx.init(gp), tx.init(dp), pool,
                       jnp.zeros((), jnp.int32))
 
@@ -130,6 +150,11 @@ def build_step_fn(cfg, axis_name: Optional[str] = None):
     deterministic = cfg.dropout_mode == "keras_quirk"
     bn_train = not deterministic
     tx = _tx(cfg.beta1)
+    compat_hist = _compat_hist(cfg)
+    if compat_hist and axis_name is not None:
+        raise NotImplementedError(
+            "compat_fake_history reproduces a single-device training-"
+            "dynamics quirk; run it with mesh_data=mesh_space=1")
 
     def step_fn(state: TrainState, batch, lr, rng):
         if axis_name is not None:
@@ -142,6 +167,27 @@ def build_step_fn(cfg, axis_name: Optional[str] = None):
         # ---------------- generator loss + grads ----------------
         def gen_loss_fn(gp, gbn):
             fake, new_gbn = _gen_fwd(cfg, gp, gbn, real_a, rng_g, deterministic)
+            if compat_hist:
+                # reference model.py:175-179: the losses see the whole
+                # accumulated fake history (prior entries are constants —
+                # they came from earlier eager steps / stop_gradient),
+                # gated by the CURRENT batch's mask (the reference quirk).
+                buf = jax.lax.stop_gradient(state.pool.buffer)
+                k, b = buf.shape[0], fake.shape[0]
+                reset = state.pool.count >= 10
+                offset = jnp.where(reset, 0, state.pool.count)
+                hist = jax.lax.dynamic_update_slice(
+                    buf, fake.astype(buf.dtype), (offset, 0, 0, 0))
+                new_count = offset + b
+                valid = jnp.arange(k) < new_count
+                reps = -(-k // b)
+                mask_h = jnp.tile(mask_a, (reps, 1, 1, 1))[:k]
+                seg_h = jnp.tile(seg_a, (reps, 1, 1, 1))[:k]
+                da_hist, _ = _disc_fwd(cfg, state.disc_params, state.disc_bn,
+                                       hist, mask_h, train=False)
+                loss = losses.gen_loss_p2p_hist(da_hist, hist, seg_h, valid)
+                return loss, (fake, new_gbn,
+                              (hist, new_count, valid, mask_h))
             if cfg.use_pix2pix:
                 da_fake, _ = _disc_fwd(cfg, state.disc_params, state.disc_bn,
                                        seg_a, fake, train=False)
@@ -154,15 +200,48 @@ def build_step_fn(cfg, axis_name: Optional[str] = None):
                     l1_lambda=cfg.L1_lambda, lg_lambda=cfg.Lg_lambda)
             else:
                 loss = losses.gen_loss_p2p(da_fake, fake, seg_a)
-            return loss, (fake, new_gbn)
+            return loss, (fake, new_gbn, None)
 
-        (g_loss, (fake, new_gbn)), g_grads = jax.value_and_grad(
+        (g_loss, (fake, new_gbn, hist_aux)), g_grads = jax.value_and_grad(
             gen_loss_fn, has_aux=True)(state.gen_params, state.gen_bn)
 
         # ---------------- discriminator loss + grads ----------------
+        if compat_hist:
+            hist, new_count, valid, mask_h = hist_aux
+            hist_sg = jax.lax.stop_gradient(hist)
+            new_pool = PoolState(hist_sg, new_count)
+
+            def hist_disc_loss_fn(dp, dbn):
+                da_real, dbn1 = _disc_fwd(cfg, dp, dbn, seg_a, mask_a,
+                                          train=False)
+                da_hist, dbn2 = _disc_fwd(cfg, dp, dbn1, hist_sg, mask_h,
+                                          train=False)
+                loss = losses.disc_loss_p2p_hist(da_real, da_hist, valid)
+                return loss, dbn2
+
+            (d_loss, new_dbn), d_grads = jax.value_and_grad(
+                hist_disc_loss_fn, has_aux=True)(state.disc_params,
+                                                 state.disc_bn)
+            g_upd, g_opt = tx.update(g_grads, state.g_opt, state.gen_params)
+            gen_params = optax.apply_updates(
+                state.gen_params, jax.tree.map(lambda u: -lr * u, g_upd))
+            d_upd, d_opt = tx.update(d_grads, state.d_opt, state.disc_params)
+            disc_params = optax.apply_updates(
+                state.disc_params, jax.tree.map(lambda u: -lr * u, d_upd))
+            new_state = TrainState(gen_params, new_gbn, disc_params, new_dbn,
+                                   g_opt, d_opt, new_pool, state.step + 1)
+            return new_state, {"gen_loss": g_loss, "disc_loss": d_loss}
+
         fake_sg = jax.lax.stop_gradient(fake)
+        mask_for_d = mask_a
         if cfg.loss_mode == "sggan" and cfg.max_size > 0:
-            new_pool, fake_for_d = pool_update(state.pool, rng_pool, fake_sg)
+            if cfg.use_pix2pix:
+                new_pool, fake_for_d = pool_update(state.pool, rng_pool,
+                                                   fake_sg)
+            else:
+                new_pool, pooled = pool_update(
+                    state.pool, rng_pool, {"fake": fake_sg, "mask": mask_a})
+                fake_for_d, mask_for_d = pooled["fake"], pooled["mask"]
         else:
             new_pool, fake_for_d = state.pool, fake_sg
 
@@ -179,7 +258,7 @@ def build_step_fn(cfg, axis_name: Optional[str] = None):
                 both, dbn2 = _disc_fwd(
                     cfg, dp, dbn,
                     jnp.concatenate([seg_a, fake_for_d], axis=0),
-                    jnp.concatenate([mask_a, mask_a], axis=0), False)
+                    jnp.concatenate([mask_a, mask_for_d], axis=0), False)
                 n = seg_a.shape[0]
                 da_real, da_fake_s = both[:n], both[n:]
             if cfg.loss_mode == "sggan":

@@ -47,7 +47,7 @@ def test_cycle_step_learns():
     state = init_cycle_state(cfg, jax.random.PRNGKey(0))
     assert set(state.gen_params) == {"a2b", "b2a"}
     assert set(state.disc_params) == {"da", "db"}
-    assert state.pool.buffer.shape == (4, 2, 32, 32, 3)
+    assert state.pool.buffer["fakes"].shape == (4, 2, 32, 32, 3)
     step = make_cycle_train_step(cfg, donate=False)
     batch = make_batch(cfg, jax.random.PRNGKey(1))
     gl = []

@@ -77,7 +77,7 @@ def test_dp_sggan_mode_runs():
     cfg = tiny_cfg(loss_mode="sggan", use_resnet=True)
     mesh = make_mesh(data=8, space=1)
     s_dp = replicate(init_state(cfg, jax.random.PRNGKey(0), n_data=8), mesh)
-    assert s_dp.pool.buffer.shape[0] == 2 * 8
+    assert s_dp.pool.buffer["fake"].shape[0] == 2 * 8
     dp_step = make_dp_train_step(cfg, mesh, donate=False)
     batch = shard_batch(make_batch(cfg, jax.random.PRNGKey(1), 8), mesh)
     for i in range(2):

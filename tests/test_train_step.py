@@ -55,6 +55,40 @@ def test_train_step_runs_and_learns(mode_kw):
     assert int(state.step) == 5
 
 
+def test_compat_fake_history_dynamics():
+    """compat_fake_history reproduces model.py:175-179: the fake history
+    grows by the batch each step until count >= 10, then resets to one
+    fresh batch; losses stay finite and the generator still learns."""
+    cfg = tiny_cfg(loss_mode="p2p", compat_fake_history=True,
+                   use_augmentation=False, batch_size=2)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    # buffer sized for the max prefix: 9 + effective batch
+    assert state.pool.buffer.shape[0] == 9 + 2
+    step = make_train_step(cfg, donate=False)
+    batch = make_batch(cfg, jax.random.PRNGKey(1))
+    counts = []
+    for i in range(7):
+        state, m = step(state, batch, jnp.float32(1e-3),
+                        jax.random.PRNGKey(i))
+        assert np.isfinite(float(m["gen_loss"]))
+        assert np.isfinite(float(m["disc_loss"]))
+        counts.append(int(state.pool.count))
+    # grows 2,4,6,8,10 then resets to the fresh batch
+    assert counts == [2, 4, 6, 8, 10, 2, 4]
+
+
+def test_pool_pairs_stay_together():
+    """Pytree pool entries are stored/swapped atomically: a historical
+    fake must come back with the mask it was stored with."""
+    state = pool_init(2, {"fake": (1,), "mask": (1,)})
+    for v in range(20):
+        items = {"fake": jnp.full((1, 1), float(v)),
+                 "mask": jnp.full((1, 1), float(v))}
+        state, out = pool_update(state, jax.random.PRNGKey(v), items)
+        np.testing.assert_allclose(np.asarray(out["fake"]),
+                                   np.asarray(out["mask"]))
+
+
 def test_lr_schedule():
     cfg = tiny_cfg()  # compat override on by default
     assert lr_schedule(cfg, 0) == 1e-3
