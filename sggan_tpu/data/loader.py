@@ -12,6 +12,12 @@ PNG decode only, on a background thread that stays ahead of the device;
 resize/one-hot/augment run device-side (preprocess.py).  With
 use_augmentation, each source item yields a plain and an augmented sample,
 doubling the effective batch exactly like model.py:240-244.
+
+Decode is the real-data bottleneck on a 1-core host (~0.1 s per 2048x1024
+PNG vs a ~10 ms device step share), so decoded triplets are kept in a
+byte-budgeted LRU cache — epochs >= 2 skip PNG decode entirely — and batch
+decode fans out over a small thread pool (PIL releases the GIL in its
+codecs, so this also helps on multi-core hosts).
 """
 
 from __future__ import annotations
@@ -19,6 +25,8 @@ from __future__ import annotations
 import os
 import queue
 import threading
+from collections import OrderedDict
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from glob import glob
 from typing import Iterator, List, Optional, Tuple
@@ -26,6 +34,23 @@ from typing import Iterator, List, Optional, Tuple
 import numpy as np
 
 from ..utils.images import imread
+
+_cache_lock = threading.Lock()
+_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
+_cache_bytes = 0
+
+_pool_lock = threading.Lock()
+_decode_pool: Optional[ThreadPoolExecutor] = None
+
+
+def _executor() -> ThreadPoolExecutor:
+    global _decode_pool
+    with _pool_lock:
+        if _decode_pool is None:
+            _decode_pool = ThreadPoolExecutor(
+                max_workers=min(8, (os.cpu_count() or 1) * 4),
+                thread_name_prefix="decode")
+        return _decode_pool
 
 
 @dataclass
@@ -45,8 +70,16 @@ class Dataset:
         return p.replace(split, split + "_seg_class")
 
 
-def _load_triplet(path: str, split: str) -> Tuple[np.ndarray, np.ndarray,
-                                                  np.ndarray]:
+def _load_triplet(path: str, split: str, cache_bytes: int = 0
+                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    global _cache_bytes
+    key = (path, split)
+    if cache_bytes:
+        with _cache_lock:
+            hit = _cache.get(key)
+            if hit is not None:
+                _cache.move_to_end(key)
+                return hit
     img = imread(path)
     seg = imread(Dataset.seg_path(path, split))
     cls = imread(Dataset.cls_path(path, split))
@@ -56,26 +89,38 @@ def _load_triplet(path: str, split: str) -> Tuple[np.ndarray, np.ndarray,
     seg = seg[..., :3] if seg.ndim == 3 else np.stack([seg] * 3, -1)
     if cls.ndim == 3:
         cls = cls[..., 0]
-    return img.astype(np.uint8), seg.astype(np.uint8), cls.astype(np.uint8)
+    trip = (img.astype(np.uint8), seg.astype(np.uint8), cls.astype(np.uint8))
+    for a in trip:
+        a.setflags(write=False)  # cached arrays are shared — freeze them
+    if cache_bytes:
+        nb = sum(a.nbytes for a in trip)
+        with _cache_lock:
+            _cache[key] = trip
+            _cache_bytes += nb
+            while _cache_bytes > cache_bytes and _cache:
+                _, old = _cache.popitem(last=False)
+                _cache_bytes -= sum(a.nbytes for a in old)
+    return trip
 
 
-def load_batch(paths: List[str], split: str):
+def load_batch(paths: List[str], split: str, cache_bytes: int = 0):
     """Decode a batch of triplets; all images in a dataset must share one
     source shape (true of the reference fixtures)."""
-    imgs, segs, clss = [], [], []
-    for p in paths:
-        i, s, c = _load_triplet(p, split)
-        imgs.append(i)
-        segs.append(s)
-        clss.append(c)
-    return np.stack(imgs), np.stack(segs), np.stack(clss)
+    if len(paths) > 1:
+        trips = list(_executor().map(
+            lambda p: _load_triplet(p, split, cache_bytes), paths))
+    else:
+        trips = [_load_triplet(p, split, cache_bytes) for p in paths]
+    return (np.stack([t[0] for t in trips]),
+            np.stack([t[1] for t in trips]),
+            np.stack([t[2] for t in trips]))
 
 
 def train_iterator(root: str, batch_size: int, seed: int,
                    use_augmentation: bool = True, epoch: int = 0,
                    train_size: Optional[int] = None,
-                   prefetch: int = 2, split: str = "trainA"
-                   ) -> Iterator[dict]:
+                   prefetch: int = 2, split: str = "trainA",
+                   cache_mb: int = 0) -> Iterator[dict]:
     """One epoch of decoded uint8 batches, shuffled per epoch
     (model.py:220-221), prefetched on a background thread.
 
@@ -99,7 +144,8 @@ def train_iterator(root: str, batch_size: int, seed: int,
                 if stop.is_set():
                     return
                 paths = files[b * batch_size:(b + 1) * batch_size]
-                img, seg, cls = load_batch(paths, split)
+                img, seg, cls = load_batch(paths, split,
+                                           cache_bytes=cache_mb << 20)
                 if use_augmentation:
                     img = np.concatenate([img, img])
                     seg = np.concatenate([seg, seg])
@@ -128,8 +174,8 @@ def test_files(root: str) -> List[str]:
     return Dataset(root, "testA").files()
 
 
-def load_test_triplet(path: str):
-    return _load_triplet(path, "testA")
+def load_test_triplet(path: str, cache_mb: int = 0):
+    return _load_triplet(path, "testA", cache_bytes=cache_mb << 20)
 
 
 def list_split(img_dir: str, seg_dir: str, replace_names=None):

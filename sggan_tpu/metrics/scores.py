@@ -75,18 +75,28 @@ def hist_device(label_true, label_pred, n_class: int):
     return counts.reshape(n_class, n_class)
 
 
-def scores_seg_fake(seg_image: np.ndarray, fake_img: np.ndarray):
+def scores_seg_fake(seg_image: np.ndarray, fake_img: np.ndarray,
+                    compat_eval_overflow: bool = False):
     """Label extraction for the live eval pairing (metric.py:71-77): the
     'labels' are argmaxes over the RGB channel axis of the uint8-scaled
     images, taken on (N, C, W, H)-transposed tensors.
 
     seg_image: (N, H, W, 3) float in [0, 1]; fake_img: (N, H, W, 3) uint8
     (already inverse-transformed) or float.  Returns (gts, preds) as
-    (N, W, H) int arrays."""
+    (N, W, H) int arrays.
+
+    compat_eval_overflow reproduces metric.py:75 exactly: the fake at the
+    live call site (model.py:363) is ALREADY uint8, and `255 * fake`
+    under value-based casting wraps mod 256 before the argmax — so the
+    reference effectively argmaxes (256 - x) % 256.  Scores produced with
+    the flag on are comparable to reference-produced numbers; off (the
+    default) argmaxes the raw channels (the obvious intent)."""
     seg_u8 = (255 * np.asarray(seg_image)).astype(np.uint8)
     fake = np.asarray(fake_img)
     if fake.dtype != np.uint8:
         fake = (255 * fake).astype(np.uint8)
+    if compat_eval_overflow:
+        fake = (fake * np.uint8(255)).astype(np.uint8)  # wraps mod 256
     gts = np.argmax(seg_u8.transpose(0, 3, 2, 1), axis=1)
     preds = np.argmax(fake.transpose(0, 3, 2, 1), axis=1)
     return gts, preds

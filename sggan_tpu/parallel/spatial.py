@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -103,11 +104,24 @@ def conv2d_valid_after_reflect_sp(params, x_padded, axis_name: str,
 
 def conv2d_transpose_sp(params, x, stride: int, axis_name: str,
                         compute_dtype=None):
-    """TF Conv2DTranspose (k=3, SAME) on an H-sharded block: extend with
-    one real row per side, transpose-conv, crop stride rows per halo row."""
+    """TF Conv2DTranspose (SAME) on an H-sharded block: extend with one
+    real row per side, transpose-conv, crop stride rows per halo row.
+
+    A one-row halo is sufficient when each input row's output footprint
+    reaches at most `stride` rows past its own block in each direction:
+    with SAME's pad_top = max(k - stride, 0) // 2 that is pad_top <= s and
+    k - pad_top - s <= s — true for every (k, s) the models use (3x3 s1/s2
+    semantic decoders, 4x4 s2 pix2pix upsamples).  SAME padding totals
+    depend only on (k, s), not the block size, so the interior alignment
+    of the extended block matches the global computation exactly; halo
+    zeros at the global edges contribute nothing, which equals TF's
+    discarded out-of-frame scatter."""
     cd = compute_dtype or x.dtype
     w = params["w"]
-    assert w.shape[0] == 3, "spatial conv-transpose supports k=3"
+    k = w.shape[0]
+    pt = max(k - stride, 0) // 2
+    assert pt <= stride and k - pt - stride <= stride, (
+        f"one-row halo insufficient for k={k}, stride={stride}")
     xh = halo_exchange(x.astype(cd), 1, 1, axis_name)
     y = lax.conv_transpose(
         xh, w.astype(cd), (stride, stride), "SAME",
@@ -136,6 +150,48 @@ def instance_norm_sp(params, x, axis_name: str, eps: float = 1e-3,
     elif act == "leaky_relu":
         y = jnp.where(y >= 0, y, alpha * y)
     return y.astype(x.dtype)
+
+
+def batch_norm_sp(params, x, axis_name: str, training: bool,
+                  momentum: float = 0.99, eps: float = 1e-3):
+    """Keras BatchNormalization on an H-sharded block: batch moments are
+    (N, H, W) reductions, so the partial sums are psum'd over the space
+    axis (ops/norm.py batch_norm semantics otherwise)."""
+    xf = x.astype(jnp.float32)
+    if training:
+        n = x.shape[0] * x.shape[1] * x.shape[2] * lax.axis_size(axis_name)
+        s1 = lax.psum(jnp.sum(xf, axis=(0, 1, 2)), axis_name)
+        s2 = lax.psum(jnp.sum(jnp.square(xf), axis=(0, 1, 2)), axis_name)
+        mean = s1 / n
+        var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
+        new = dict(params)
+        new["moving_mean"] = (momentum * params["moving_mean"]
+                              + (1 - momentum) * mean
+                              ).astype(params["moving_mean"].dtype)
+        new["moving_var"] = (momentum * params["moving_var"]
+                             + (1 - momentum) * var
+                             ).astype(params["moving_var"].dtype)
+    else:
+        mean = params["moving_mean"].astype(jnp.float32)
+        var = params["moving_var"].astype(jnp.float32)
+        new = params
+    y = (xf - mean) * lax.rsqrt(var + eps)
+    y = y * params["gamma"].astype(jnp.float32) \
+        + params["beta"].astype(jnp.float32)
+    return y.astype(x.dtype), new
+
+
+def all_gather_h(x, axis_name: str):
+    """Reassemble the full H plane on every shard (tiled all_gather)."""
+    return lax.all_gather(x, axis_name, axis=1, tiled=True)
+
+
+def scatter_h(x, axis_name: str):
+    """Take this shard's local H slice of a replicated block."""
+    n = lax.axis_size(axis_name)
+    local = x.shape[1] // n
+    return lax.dynamic_slice_in_dim(x, lax.axis_index(axis_name) * local,
+                                    local, 1)
 
 
 def reflect_pad_sp(x, p: int, axis_name: str):
@@ -228,12 +284,14 @@ def generator_resnet_sp(params, x, axis_name: str, compute_dtype=None):
     return tanh(y.astype(jnp.float32))
 
 
-def generator_unet_sp(params, x, axis_name: str, compute_dtype=None):
+def generator_unet_sp(params, x, axis_name: str, compute_dtype=None,
+                      rng=None, deterministic: bool = True):
     """generator_unet.apply on an H-sharded block — every conv is 3x3
-    stride-1 SAME so halos are one row each way.  Dropout is not applied
-    (equivalent to deterministic=True; per-shard dropout RNG would be
-    valid — masks are per-pixel — but eval/serving paths are the target
-    here)."""
+    stride-1 SAME so halos are one row each way.  Dropout (d1-d3, between
+    conv-transpose and IN, module.py:170-181) uses a per-shard key
+    (fold_in of the axis index): masks are iid per pixel, so per-shard
+    keys sample the same distribution the single-device forward does."""
+    from ..ops.layers import dropout
     cd = compute_dtype or x.dtype
     y = x.astype(cd)
     enc = []
@@ -242,8 +300,14 @@ def generator_unet_sp(params, x, axis_name: str, compute_dtype=None):
         act = "relu" if i == 8 else "leaky_relu"
         y = instance_norm_sp(params[f"e{i}_in"], y, axis_name, act=act)
         enc.append(y)
+    use_drop = rng is not None and not deterministic
+    if use_drop:
+        rng = jax.random.fold_in(rng, lax.axis_index(axis_name))
+        drop_keys = jax.random.split(rng, 3)
     for i in range(1, 8):
         y = conv2d_transpose_sp(params[f"d{i}"], y, 1, axis_name, cd)
+        if i <= 3 and use_drop:
+            y = dropout(drop_keys[i - 1], y, 0.5, deterministic=False)
         y = instance_norm_sp(params[f"d{i}_in"], y, axis_name)
         y = y + enc[7 - i]
         if i in (3, 7):
@@ -267,3 +331,123 @@ def discriminator_sp(params, x, mask, axis_name: str, compute_dtype=None):
     y = instance_norm_sp(params["h3_in"], y, axis_name, act="leaky_relu")
     y = conv2d_sp(params["h4"], y, 1, axis_name, cd).astype(jnp.float32)
     return jnp.sum(y * mask.astype(jnp.float32), axis=-1, keepdims=True)
+
+
+def generator_pix2pix_sp(params, state, x, axis_name: str,
+                         compute_dtype=None, rng=None,
+                         deterministic: bool = True, train: bool = False,
+                         ngf: int = 64):
+    """pix2pix U-Net (models/generator_pix2pix.py) on an H-sharded block.
+
+    The encoder halves H per block, so once the local block would fall
+    below 2 rows the plane is all_gather'ed and the deep middle runs
+    replicated — those activations are tiny (<= 2 * n_shards rows); the
+    memory/compute win of spatial sharding lives in the high-res layers.
+    The decoder re-scatters at the level whose skip is sharded.  BN
+    moments psum over the axis in the sharded region; replicated-region
+    shards compute identical values.  Returns (y, new_bn_state)."""
+    from ..models.generator_pix2pix import DROP_RATE, _plan
+    from ..ops.layers import conv2d, conv2d_transpose, dropout, relu
+    from ..ops.norm import batch_norm
+
+    cd = compute_dtype or x.dtype
+    n_sp = lax.axis_size(axis_name)
+    down, up = _plan(x.shape[1] * n_sp, ngf)
+    new_state = {}
+
+    def bn(name, v, is_sharded):
+        merged = {**params[name], **state[name]}
+        if is_sharded:
+            out, new = batch_norm_sp(merged, v, axis_name, training=train)
+        else:
+            out, new = batch_norm(merged, v, training=train)
+        new_state[name] = {"moving_mean": new["moving_mean"],
+                           "moving_var": new["moving_var"]}
+        return out
+
+    y = x.astype(cd)
+    sharded = True
+    skips = []
+    for i in range(len(down)):
+        if sharded and y.shape[1] < 2:
+            y = all_gather_h(y, axis_name)
+            sharded = False
+        y = (conv2d_sp(params[f"down{i}"], y, 2, axis_name, cd) if sharded
+             else conv2d(params[f"down{i}"], y, 2, "SAME", cd))
+        if i > 0:
+            y = bn(f"down{i}_bn", y, sharded)
+        y = leaky_relu(y)
+        skips.append((y, sharded))
+
+    skips = list(reversed(skips[:-1]))
+    use_drop = rng is not None and not deterministic
+    drop_keys = jax.random.split(rng, min(3, len(up))) if use_drop else None
+    for i in range(len(up)):
+        skip, skip_sharded = skips[i]
+        if sharded:
+            y = conv2d_transpose_sp(params[f"up{i}"], y, 2, axis_name, cd)
+        else:
+            y = conv2d_transpose(params[f"up{i}"], y, 2, "SAME", cd)
+            if skip_sharded:  # resolution re-entered the sharded domain
+                y = scatter_h(y, axis_name)
+                sharded = True
+        y = bn(f"up{i}_bn", y, sharded)
+        if i < 3 and use_drop:
+            k = drop_keys[i]
+            if sharded:  # per-shard masks (iid per pixel)
+                k = jax.random.fold_in(k, lax.axis_index(axis_name))
+            y = dropout(k, y, DROP_RATE, deterministic=False)
+        y = relu(y)
+        y = jnp.concatenate([y, skip], axis=-1)
+
+    if sharded:
+        y = conv2d_transpose_sp(params["last"], y, 2, axis_name, cd)
+    else:
+        y = conv2d_transpose(params["last"], y, 2, "SAME", cd)
+        y = scatter_h(y, axis_name)
+    return tanh(y.astype(jnp.float32)), new_state
+
+
+def discriminator_pix2pix_sp(params, state, inp, tar, axis_name: str,
+                             compute_dtype=None, train: bool = False):
+    """pix2pix PatchGAN (models/discriminator_pix2pix.py) on H-sharded
+    inputs: the 3 stride-2 downsamples run sharded (BN psum'd), then the
+    small zero-pad + VALID tail runs replicated after an all_gather.
+    Returns (replicated patch logits, new_bn_state)."""
+    from ..ops.layers import conv2d
+    from ..ops.norm import batch_norm
+
+    cd = compute_dtype or inp.dtype
+    new_state = {}
+
+    def bn(name, v, is_sharded):
+        merged = {**params[name], **state[name]}
+        if is_sharded:
+            out, new = batch_norm_sp(merged, v, axis_name, training=train)
+        else:
+            out, new = batch_norm(merged, v, training=train)
+        new_state[name] = {"moving_mean": new["moving_mean"],
+                           "moving_var": new["moving_var"]}
+        return out
+
+    y = jnp.concatenate([inp.astype(cd), tar.astype(cd)], axis=-1)
+    sharded = True
+    for i in range(3):
+        if sharded and y.shape[1] < 2:
+            y = all_gather_h(y, axis_name)
+            sharded = False
+        y = (conv2d_sp(params[f"down{i}"], y, 2, axis_name, cd) if sharded
+             else conv2d(params[f"down{i}"], y, 2, "SAME", cd))
+        if i > 0:
+            y = bn(f"down{i}_bn", y, sharded)
+        y = leaky_relu(y)
+    if sharded:
+        y = all_gather_h(y, axis_name)
+    pad = [(0, 0), (1, 1), (1, 1), (0, 0)]
+    y = jnp.pad(y, pad)
+    y = conv2d(params["conv"], y, 1, "VALID", cd)
+    y = bn("conv_bn", y, False)
+    y = leaky_relu(y)
+    y = jnp.pad(y, pad)
+    y = conv2d(params["last"], y, 1, "VALID", cd)
+    return y.astype(jnp.float32), new_state

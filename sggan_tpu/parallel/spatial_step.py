@@ -9,13 +9,18 @@ halo rows travel by ppermute, and gradients/losses pmean over both axes
 a mean over equal-sized shards; cross-shard dependency gradients flow
 through the collective transposes).
 
-Restrictions (round-1 scope, asserted at build): resnet generator (no
-dropout RNG to synchronize across space shards), sggan loss, semantic
-discriminator with the paper-style stride-8 patch head (the reference's
-global VALID chain does not split spatially).  The image pool keeps
-per-(data-shard) slots holding H-sharded fakes; pool RNG is folded by the
-data index only so all space shards of one data shard make identical slot
-decisions.
+Supported configurations:
+* loss_mode="sggan" with the resnet or unet generator and the semantic
+  discriminator in its paper-style stride-8 patch head (the reference's
+  global VALID chain does not split spatially);
+* loss_mode="p2p" with the pix2pix generator/discriminator (BN moments
+  psum over ``space``; the deep low-res middle runs replicated after an
+  all_gather — see spatial.generator_pix2pix_sp).
+
+The image pool keeps per-(data-shard) slots holding H-sharded fakes; pool
+RNG is folded by the data index only so all space shards of one data shard
+make identical slot decisions.  unet/pix2pix dropout uses per-space-shard
+keys (masks are iid per pixel).
 """
 
 from __future__ import annotations
@@ -36,38 +41,72 @@ from . import spatial
 
 
 def init_sp_state(cfg, key, n_data: int = 1) -> TrainState:
-    from ..models import generator_resnet
+    from ..models import (discriminator_pix2pix, generator_pix2pix,
+                          generator_resnet, generator_unet)
     kg, kd = jax.random.split(key)
     h, w = cfg.image_height, cfg.image_width
-    gp = generator_resnet.init(kg, ngf=cfg.ngf, input_nc=cfg.input_nc,
-                               output_nc=cfg.output_nc)
+    tx = _tx(cfg.beta1)
+    if cfg.use_pix2pix:
+        gp, gbn = generator_pix2pix.init(kg, ngf=cfg.ngf,
+                                         input_nc=cfg.input_nc,
+                                         output_nc=cfg.output_nc,
+                                         image_size=h)
+        dpp, dbn = discriminator_pix2pix.init(kd, ndf=cfg.ndf,
+                                              input_nc=cfg.input_nc)
+        pool = pool_init(1 * n_data, (h, w, cfg.output_nc))  # p2p: unused
+        return TrainState(gp, gbn, dpp, dbn, tx.init(gp), tx.init(dpp),
+                          pool, jnp.zeros((), jnp.int32))
+    if cfg.use_resnet:
+        gp = generator_resnet.init(kg, ngf=cfg.ngf, input_nc=cfg.input_nc,
+                                   output_nc=cfg.output_nc)
+    else:
+        gp = generator_unet.init(kg, ngf=cfg.ngf, input_nc=cfg.input_nc,
+                                 output_nc=cfg.output_nc)
     dp = discriminator.init(kd, ndf=cfg.ndf, input_nc=cfg.input_nc,
                             n_class=cfg.segment_class, image_size=(h, w),
                             head="patch")
-    tx = _tx(cfg.beta1)
-    pool = pool_init(max(cfg.max_size, 1) * n_data, (h, w, cfg.output_nc))
+    # (fake, mask) pooled together (both space-sharded on their H dim) so
+    # historical fakes keep the semantic mask they were generated under
+    hm, wm = cfg.mask_hw
+    pool = pool_init(max(cfg.max_size, 1) * n_data,
+                     {"fake": (h, w, cfg.output_nc),
+                      "mask": (hm, wm, cfg.segment_class)})
     return TrainState(gp, {}, dp, {}, tx.init(gp), tx.init(dp), pool,
                       jnp.zeros((), jnp.int32))
 
 
 def build_sp_step_fn(cfg, data_axis: str = DATA_AXIS,
                      space_axis: str = SPACE_AXIS):
-    assert cfg.use_resnet, "spatial step supports the resnet generator"
+    if cfg.use_pix2pix:
+        assert cfg.loss_mode == "p2p", \
+            "pix2pix spatial step runs the p2p objective"
+        return _build_sp_step_p2p_pix2pix(cfg, data_axis, space_axis)
+    assert cfg.loss_mode == "sggan", \
+        "semantic spatial step runs the sggan objective"
     cd = _dtype(cfg)
     tx = _tx(cfg.beta1)
     crit = losses.criterion_gan(cfg.use_lsgan)
     axes = (data_axis, space_axis)
+    deterministic = cfg.dropout_mode == "keras_quirk"
 
     def step_fn(state: TrainState, batch, lr, rng):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
         rng_pool = rng  # shared across space shards of one data shard
+        rng_g = jax.random.fold_in(rng, 1)  # unet dropout only
         real_a = batch["real_a"].astype(jnp.float32)
         seg_a = batch["seg_a"].astype(jnp.float32)
         mask_a = batch["mask_a"]
         w_a = spatial.seg_boundary_weight_sp(seg_a, space_axis)
 
+        def gen_fwd_sp(gp, x):
+            if cfg.use_resnet:
+                return spatial.generator_resnet_sp(gp, x, space_axis, cd)
+            return spatial.generator_unet_sp(gp, x, space_axis, cd,
+                                             rng=rng_g,
+                                             deterministic=deterministic)
+
         def gen_loss_fn(gp):
-            fake = spatial.generator_resnet_sp(gp, real_a, space_axis, cd)
+            fake = gen_fwd_sp(gp, real_a)
             da_fake = spatial.discriminator_sp(state.disc_params, fake,
                                                mask_a, space_axis, cd)
             g = crit(da_fake, jnp.ones_like(da_fake))
@@ -82,14 +121,16 @@ def build_sp_step_fn(cfg, data_axis: str = DATA_AXIS,
 
         fake_sg = jax.lax.stop_gradient(fake)
         if cfg.max_size > 0:
-            new_pool, fake_for_d = pool_update(state.pool, rng_pool, fake_sg)
+            new_pool, pooled = pool_update(state.pool, rng_pool,
+                                           {"fake": fake_sg, "mask": mask_a})
+            fake_for_d, mask_for_d = pooled["fake"], pooled["mask"]
         else:
-            new_pool, fake_for_d = state.pool, fake_sg
+            new_pool, fake_for_d, mask_for_d = state.pool, fake_sg, mask_a
 
         def disc_loss_fn(dpm):
             da_real = spatial.discriminator_sp(dpm, seg_a, mask_a,
                                                space_axis, cd)
-            da_fake_s = spatial.discriminator_sp(dpm, fake_for_d, mask_a,
+            da_fake_s = spatial.discriminator_sp(dpm, fake_for_d, mask_for_d,
                                                  space_axis, cd)
             return losses.disc_loss_sggan(da_real, da_fake_s,
                                           use_lsgan=cfg.use_lsgan)
@@ -109,6 +150,69 @@ def build_sp_step_fn(cfg, data_axis: str = DATA_AXIS,
 
         new_state = TrainState(gen_params, {}, disc_params, {}, g_opt,
                                d_opt, new_pool, state.step + 1)
+        return new_state, {"gen_loss": g_loss, "disc_loss": d_loss}
+
+    return step_fn
+
+
+def _build_sp_step_p2p_pix2pix(cfg, data_axis: str, space_axis: str):
+    """p2p objective with the pix2pix nets, (data x space) sharded.  BN
+    statistics in the sharded region psum over ``space`` (exact global
+    spatial moments per data shard) and the updated states pmean over
+    ``data`` — the same aggregation dp.py applies."""
+    cd = _dtype(cfg)
+    tx = _tx(cfg.beta1)
+    axes = (data_axis, space_axis)
+    deterministic = cfg.dropout_mode == "keras_quirk"
+    bn_train = not deterministic
+
+    def step_fn(state: TrainState, batch, lr, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
+        rng_g = jax.random.fold_in(rng, 1)
+        real_a = batch["real_a"].astype(jnp.float32)
+        seg_a = batch["seg_a"].astype(jnp.float32)
+
+        def gen_loss_fn(gp, gbn):
+            fake, new_gbn = spatial.generator_pix2pix_sp(
+                gp, gbn, real_a, space_axis, cd, rng=rng_g,
+                deterministic=deterministic, train=bn_train, ngf=cfg.ngf)
+            da_fake, _ = spatial.discriminator_pix2pix_sp(
+                state.disc_params, state.disc_bn, seg_a, fake, space_axis,
+                cd, train=False)
+            return losses.gen_loss_p2p(da_fake, fake, seg_a), (fake, new_gbn)
+
+        (g_loss, (fake, new_gbn)), g_grads = jax.value_and_grad(
+            gen_loss_fn, has_aux=True)(state.gen_params, state.gen_bn)
+
+        fake_sg = jax.lax.stop_gradient(fake)
+
+        def disc_loss_fn(dp, dbn):
+            da_real, dbn1 = spatial.discriminator_pix2pix_sp(
+                dp, dbn, seg_a, seg_a, space_axis, cd, train=bn_train)
+            da_fake_s, dbn2 = spatial.discriminator_pix2pix_sp(
+                dp, dbn1, seg_a, fake_sg, space_axis, cd, train=bn_train)
+            return losses.disc_loss_p2p(da_real, da_fake_s), dbn2
+
+        (d_loss, new_dbn), d_grads = jax.value_and_grad(
+            disc_loss_fn, has_aux=True)(state.disc_params, state.disc_bn)
+
+        pmean = lambda t: jax.lax.pmean(t, axes)
+        g_grads, d_grads = pmean(g_grads), pmean(d_grads)
+        g_loss, d_loss = pmean(g_loss), pmean(d_loss)
+        # BN states are already space-exact (psum'd moments); average the
+        # per-data-shard batches
+        dmean = lambda t: jax.lax.pmean(t, data_axis)
+        new_gbn, new_dbn = dmean(new_gbn), dmean(new_dbn)
+
+        g_upd, g_opt = tx.update(g_grads, state.g_opt, state.gen_params)
+        gen_params = optax.apply_updates(
+            state.gen_params, jax.tree.map(lambda u: -lr * u, g_upd))
+        d_upd, d_opt = tx.update(d_grads, state.d_opt, state.disc_params)
+        disc_params = optax.apply_updates(
+            state.disc_params, jax.tree.map(lambda u: -lr * u, d_upd))
+
+        new_state = TrainState(gen_params, new_gbn, disc_params, new_dbn,
+                               g_opt, d_opt, state.pool, state.step + 1)
         return new_state, {"gen_loss": g_loss, "disc_loss": d_loss}
 
     return step_fn

@@ -54,9 +54,13 @@ class Trainer:
             from ..parallel.spatial_step import (init_sp_state,
                                                  make_sp_train_step,
                                                  place_sp, shard_sp_batch)
-            if not (cfg.loss_mode == "sggan" and cfg.use_resnet):
+            ok = ((cfg.loss_mode == "sggan" and not cfg.use_pix2pix)
+                  or (cfg.loss_mode == "p2p" and cfg.use_pix2pix))
+            if not ok:
                 raise NotImplementedError(
-                    "mesh_space>1 requires --loss_mode sggan --use_resnet")
+                    "mesh_space>1 supports --loss_mode sggan with the "
+                    "resnet/unet nets, or --loss_mode p2p with "
+                    "--use_pix2pix")
             self.mesh = make_mesh(data=n_data, space=n_space)
             self.state = place_sp(
                 init_sp_state(cfg, self.key, n_data=n_data), self.mesh)
@@ -137,6 +141,9 @@ class Trainer:
 
         epoch = 0
         last = {}
+        # host-side step counter (one device read at start, e.g. on resume)
+        # -- int(self.state.step) every step would block async dispatch
+        global_step = int(np.asarray(jax.device_get(self.state.step)))
         try:
             for epoch in range(cfg.epoch):
                 lr = jnp.float32(lr_schedule(cfg, epoch))
@@ -144,13 +151,14 @@ class Trainer:
                 it = train_iterator(self.root, cfg.batch_size, cfg.data_seed,
                                     use_augmentation=cfg.use_augmentation,
                                     epoch=epoch, train_size=cfg.train_size,
-                                    prefetch=cfg.prefetch)
+                                    prefetch=cfg.prefetch,
+                                    cache_mb=cfg.decode_cache_mb)
                 if self.cycle:
                     it_b = train_iterator(
                         self.root, cfg.batch_size, cfg.data_seed + 7919,
                         use_augmentation=cfg.use_augmentation, epoch=epoch,
                         train_size=cfg.train_size, prefetch=cfg.prefetch,
-                        split="trainB")
+                        split="trainB", cache_mb=cfg.decode_cache_mb)
                     it = zip(it, it_b)
                 for idx, raw in enumerate(it):
                     self.key, k_pre, k_step = jax.random.split(self.key, 3)
@@ -178,7 +186,8 @@ class Trainer:
                                   epoch, idx, time.time() - start_time,
                                   float(m["gen_loss"]),
                                   float(m["disc_loss"])))
-                    if cfg.save_freq and int(self.state.step) % cfg.save_freq == 0:
+                    global_step += 1
+                    if cfg.save_freq and global_step % cfg.save_freq == 0:
                         ckpt.save(self.state, cfg.checkpoint_dir,
                                   cfg.dataset_dir, epoch)
 
@@ -219,7 +228,8 @@ class Trainer:
         chunk = 8
         for c0 in range(0, len(files), chunk):
             paths = files[c0:c0 + chunk]
-            trips = [load_test_triplet(p) for p in paths]
+            trips = [load_test_triplet(p, cache_mb=cfg.decode_cache_mb)
+                     for p in paths]
             img_u8 = np.stack([t[0] for t in trips])
             seg_u8 = np.stack([t[1] for t in trips])
             cls_u8 = np.stack([t[2] for t in trips])
@@ -247,7 +257,9 @@ class Trainer:
                     q = dense_crf(sample_u8, probs)
                     fake_img = (np.ascontiguousarray(
                         q.transpose(1, 2, 0))[None] * 255).astype(np.uint8)
-                lt, lp = scores_seg_fake(seg[i:i + 1], fake_img)
+                lt, lp = scores_seg_fake(
+                    seg[i:i + 1], fake_img,
+                    compat_eval_overflow=cfg.compat_eval_overflow)
                 gts += list(lt)
                 preds += list(lp)
         score = scores(gts, preds, n_class=cfg.segment_class)
@@ -297,7 +309,8 @@ class Trainer:
         rng = np.random.default_rng(cfg.data_seed + epoch * 10000 + idx)
         rng.shuffle(files)
         paths = files[: cfg.batch_size]  # model.py:509: batch of samples
-        trips = [load_test_triplet(p) for p in paths]
+        trips = [load_test_triplet(p, cache_mb=cfg.decode_cache_mb)
+                 for p in paths]
         img_u8 = np.stack([t[0] for t in trips])
         seg_u8 = np.stack([t[1] for t in trips])
         cls_u8 = np.stack([t[2] for t in trips])

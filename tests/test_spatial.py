@@ -127,3 +127,98 @@ def test_generator_unet_sp_matches():
         mesh, (P(), SHARD_H), SHARD_H, p, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_conv2d_transpose_sp_k4_s2_matches():
+    """The pix2pix 4x4 stride-2 upsample under the one-row-halo rule."""
+    mesh = sp_mesh()
+    p = ops.conv2d_transpose_init(KEY, 4, 4, 4, 6)
+    x = jax.random.uniform(jax.random.PRNGKey(7), (1, 16, 16, 4))
+    ref = ops.conv2d_transpose(p, x, 2, "SAME")
+    got = run_sharded(
+        functools.partial(spatial.conv2d_transpose_sp, stride=2,
+                          axis_name=AX),
+        mesh, (P(), SHARD_H), SHARD_H, p, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_conv2d_sp_k4_s2_matches():
+    """The pix2pix 4x4 stride-2 downsample (asymmetric SAME pads)."""
+    mesh = sp_mesh()
+    p = ops.conv2d_init(KEY, 4, 4, 3, 5)
+    x = jax.random.uniform(jax.random.PRNGKey(8), (2, 16, 24, 3))
+    ref = ops.conv2d(p, x, 2, "SAME")
+    got = run_sharded(
+        functools.partial(spatial.conv2d_sp, stride=2, axis_name=AX),
+        mesh, (P(), SHARD_H), SHARD_H, p, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_batch_norm_sp_matches():
+    mesh = sp_mesh()
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, 16, 8, 4)) * 3 + 2
+    p = ops.batch_norm_init(4)
+    ref, new_ref = ops.batch_norm(p, x, training=True)
+
+    def fn(p_, x_):
+        return spatial.batch_norm_sp(p_, x_, AX, training=True)
+
+    got, new_got = run_sharded(fn, mesh, (P(), SHARD_H), (SHARD_H, P()),
+                               p, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_got["moving_var"]),
+                               np.asarray(new_ref["moving_var"]),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_generator_unet_sp_matches_single_device():
+    from sggan_tpu.models import generator_unet
+    mesh = sp_mesh()
+    params = generator_unet.init(KEY, ngf=4)
+    x = jax.random.uniform(jax.random.PRNGKey(10), (1, 16, 16, 3))
+    ref = generator_unet.apply(params, x)  # deterministic
+
+    def fn(p_, x_):
+        return spatial.generator_unet_sp(p_, x_, AX)
+
+    got = run_sharded(fn, mesh, (P(), SHARD_H), SHARD_H, params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_generator_pix2pix_sp_matches_single_device():
+    from sggan_tpu.models import generator_pix2pix
+    mesh = sp_mesh(2)
+    params, state = generator_pix2pix.init(KEY, ngf=4, image_size=32)
+    x = jax.random.uniform(jax.random.PRNGKey(11), (1, 32, 32, 3))
+    ref, _ = generator_pix2pix.apply(params, state, x, ngf=4)
+
+    def fn(p_, s_, x_):
+        y, new_s = spatial.generator_pix2pix_sp(p_, s_, x_, AX, ngf=4)
+        return y
+
+    got = run_sharded(fn, mesh, (P(), P(), SHARD_H), SHARD_H,
+                      params, state, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_discriminator_pix2pix_sp_matches_single_device():
+    from sggan_tpu.models import discriminator_pix2pix
+    mesh = sp_mesh(2)
+    params, state = discriminator_pix2pix.init(KEY, ndf=4)
+    a = jax.random.uniform(jax.random.PRNGKey(12), (1, 32, 32, 3))
+    b = jax.random.uniform(jax.random.PRNGKey(13), (1, 32, 32, 3))
+    ref, _ = discriminator_pix2pix.apply(params, state, a, b)
+
+    def fn(p_, s_, a_, b_):
+        y, _ = spatial.discriminator_pix2pix_sp(p_, s_, a_, b_, AX)
+        return y
+
+    got = run_sharded(fn, mesh, (P(), P(), SHARD_H, SHARD_H), P(),
+                      params, state, a, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)

@@ -158,7 +158,8 @@ def test_sp_step_with_pool_runs_multi_step():
     mesh = make_mesh(data=4, space=2)
     state = place_sp(init_sp_state(cfg, jax.random.PRNGKey(0), n_data=4),
                      mesh)
-    assert state.pool.buffer.shape == (8, 32, 32, 3)
+    assert state.pool.buffer["fake"].shape == (8, 32, 32, 3)
+    assert state.pool.buffer["mask"].shape[0] == 8
     step = make_sp_train_step(cfg, mesh, donate=False)
     batch = shard_sp_batch(make_batch(cfg, jax.random.PRNGKey(1)), mesh)
     for i in range(3):
@@ -166,3 +167,44 @@ def test_sp_step_with_pool_runs_multi_step():
                         jax.random.PRNGKey(i))
         assert np.isfinite(float(m["gen_loss"]))
     assert int(state.step) == 3
+
+
+def test_sp_step_unet_runs():
+    """sggan objective with the unet generator on a (data x space) mesh
+    (dropout keyed per space shard)."""
+    cfg = cfg_(use_resnet=False, max_size=2, batch_size=4,
+               dropout_mode="intended")
+    mesh = make_mesh(data=2, space=2)
+    state = place_sp(init_sp_state(cfg, jax.random.PRNGKey(0), n_data=2),
+                     mesh)
+    step = make_sp_train_step(cfg, mesh, donate=False)
+    batch = shard_sp_batch(make_batch(cfg, jax.random.PRNGKey(1)), mesh)
+    for i in range(2):
+        state, m = step(state, batch, jnp.float32(1e-3),
+                        jax.random.PRNGKey(i))
+        assert np.isfinite(float(m["gen_loss"]))
+        assert np.isfinite(float(m["disc_loss"]))
+    assert int(state.step) == 2
+
+
+def test_sp_step_pix2pix_runs():
+    """p2p objective with the pix2pix nets on a (data x space) mesh —
+    BN state threads through psum'd spatial moments."""
+    cfg = cfg_(loss_mode="p2p", use_resnet=False, use_pix2pix=True,
+               image_height=32, image_width=32, batch_size=4)
+    mesh = make_mesh(data=2, space=2)
+    state = place_sp(init_sp_state(cfg, jax.random.PRNGKey(0), n_data=2),
+                     mesh)
+    step = make_sp_train_step(cfg, mesh, donate=False)
+    batch = shard_sp_batch(make_batch(cfg, jax.random.PRNGKey(1)), mesh)
+    gl = []
+    for i in range(3):
+        state, m = step(state, batch, jnp.float32(1e-3),
+                        jax.random.PRNGKey(i))
+        assert np.isfinite(float(m["gen_loss"]))
+        assert np.isfinite(float(m["disc_loss"]))
+        gl.append(float(m["gen_loss"]))
+    assert gl[-1] < gl[0]
+    # BN moving stats moved (train path exercised)
+    mv = np.asarray(jax.device_get(state.gen_bn["up0_bn"]["moving_mean"]))
+    assert not np.allclose(mv, 0.0)
