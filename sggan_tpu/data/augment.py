@@ -103,6 +103,72 @@ def affine_warp(img, params: AffineParams, order: int = 1):
     return jax.vmap(warp_channel, in_axes=-1, out_axes=-1)(img)
 
 
+def _blur1d_5tap(x, kern, axis: int):
+    """5-tap correlation along `axis` with edge padding (imgaug's default
+    border handling)."""
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (2, 2)
+    xp = jnp.pad(x, pad, mode="edge")
+    out = jnp.zeros_like(x)
+    for i in range(5):
+        out = out + kern[i] * jax.lax.slice_in_dim(
+            xp, i, i + x.shape[axis], axis=axis)
+    return out
+
+
+def photometric_augment(key, img):
+    """The reference's dormant imgaug seq1 (utils.py:57-78), realized as
+    PRNG-keyed device transforms on a (H, W, C) float image in [0, 1]:
+
+    * Sometimes(0.5, GaussianBlur(sigma ~ U(0, 0.5))) — separable 5-tap
+      gaussian (ample for sigma <= 0.5);
+    * LinearContrast(alpha ~ U(0.75, 1.5)) about imgaug's uint8 pivot 127;
+    * AdditiveGaussianNoise(scale ~ U(0, 0.05*255)), per-pixel-AND-channel
+      for 50% of images, per-pixel (shared across channels) otherwise;
+    * Multiply(m ~ U(0.8, 1.2)), per-channel for 20% of images.
+
+    Each stage saturates to [0, 1] like imgaug's uint8 arithmetic.  The
+    random-order application is approximated by this fixed composition
+    (same marginal distributions; the ops nearly commute at these
+    magnitudes) — the same rationalization augment_pair makes for seq2.
+    The reference's (commented-out) call site would have distorted the seg
+    channels too (utils.py:99-101); photometric ops apply to the PHOTO
+    only here, since label colors must stay exact.
+    """
+    (k_blur_on, k_sigma, k_alpha, k_nscale, k_npc, k_noise,
+     k_mpc, k_mult) = jax.random.split(key, 8)
+
+    # blur
+    sigma = jnp.where(jax.random.bernoulli(k_blur_on, 0.5),
+                      jax.random.uniform(k_sigma, (), minval=0.0,
+                                         maxval=0.5), 0.0)
+    r = jnp.arange(-2, 3, dtype=jnp.float32)
+    raw = jnp.exp(-0.5 * jnp.square(r / jnp.maximum(sigma, 1e-6)))
+    ident = jnp.array([0.0, 0.0, 1.0, 0.0, 0.0], jnp.float32)
+    kern = jnp.where(sigma > 1e-3, raw / jnp.sum(raw), ident)
+    img = _blur1d_5tap(_blur1d_5tap(img, kern, 0), kern, 1)
+
+    # linear contrast (imgaug pivots uint8 at 127)
+    pivot = 127.0 / 255.0
+    alpha = jax.random.uniform(k_alpha, (), minval=0.75, maxval=1.5)
+    img = jnp.clip(pivot + alpha * (img - pivot), 0.0, 1.0)
+
+    # additive gaussian noise
+    scale = jax.random.uniform(k_nscale, (), minval=0.0, maxval=0.05)
+    per_channel = jax.random.bernoulli(k_npc, 0.5)
+    noise_c = jax.random.normal(k_noise, img.shape)
+    noise_p = noise_c[..., :1]  # shared-across-channels variant, same key
+    noise = jnp.where(per_channel, noise_c,
+                      jnp.broadcast_to(noise_p, img.shape))
+    img = jnp.clip(img + scale * noise, 0.0, 1.0)
+
+    # brightness multiply
+    m_pc = jax.random.bernoulli(k_mpc, 0.2)
+    m = jax.random.uniform(k_mult, (img.shape[-1],), minval=0.8, maxval=1.2)
+    mult = jnp.where(m_pc, m, jnp.broadcast_to(m[:1], m.shape))
+    return jnp.clip(img * mult, 0.0, 1.0)
+
+
 def augment_pair(key, img, seg):
     """Augment an (img, seg) pair with identical geometry — parity with
     DataAugmentation.augmentation_func (utils.py:94-103), fused into one

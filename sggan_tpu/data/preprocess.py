@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from .augment import (AffineParams, affine_warp, conjugate_affine,
-                      random_affine_params)
+                      photometric_augment, random_affine_params)
 
 
 def _identity_params() -> AffineParams:
@@ -53,12 +53,15 @@ def _one_hot_mask(cls_u8, mask_hw, n_class):
     return jax.nn.one_hot(cls.astype(jnp.int32), n_class, dtype=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("out_hw", "mask_hw", "n_class"))
+@functools.partial(jax.jit, static_argnames=("out_hw", "mask_hw", "n_class",
+                                             "photometric"))
 def preprocess_train(img_u8, seg_u8, cls_u8, key, aug_flags, *,
-                     out_hw, mask_hw, n_class):
+                     out_hw, mask_hw, n_class, photometric: bool = False):
     """img_u8/seg_u8: (B, sh, sw, 3) uint8; cls_u8: (B, sh, sw) uint8;
     aug_flags: (B,) bool — which samples get the imgaug-equivalent warp
     (the reference emits plain+augmented pairs per item, model.py:235-244).
+    photometric additionally applies the seq1 analog (augment.py) to the
+    photo of aug-flagged samples.
     Returns {"real_a", "seg_a", "mask_a"} float32, images in [0, 1]."""
     b, sh, sw = img_u8.shape[:3]
     img = img_u8.astype(jnp.float32) / 255.0
@@ -78,13 +81,18 @@ def preprocess_train(img_u8, seg_u8, cls_u8, key, aug_flags, *,
     aug_keys = jax.random.split(k_aug, b)
 
     def one(im, sg, k, flag):
-        p = random_affine_params(k, sh, sh)  # reference's square-res frame
+        k_geo, k_pho = jax.random.split(k)
+        p = random_affine_params(k_geo, sh, sh)  # reference square-res frame
         p = conjugate_affine(p, (sh, sh), out_hw)
         ident = _identity_params()
         p = AffineParams(matrix=jnp.where(flag, p.matrix, ident.matrix),
                          flip=jnp.logical_and(flag, p.flip))
         both = affine_warp(jnp.concatenate([im, sg], axis=-1), p)
-        return both[..., :3], both[..., 3:]
+        im_out, sg_out = both[..., :3], both[..., 3:]
+        if photometric:
+            im_out = jnp.where(flag, photometric_augment(k_pho, im_out),
+                               im_out)
+        return im_out, sg_out
 
     img, seg = jax.vmap(one)(img, seg, aug_keys, aug_flags)
 
@@ -114,4 +122,5 @@ def make_preprocess_train(cfg):
     """Bind the static config once."""
     return functools.partial(
         preprocess_train, out_hw=(cfg.image_height, cfg.image_width),
-        mask_hw=cfg.mask_hw, n_class=cfg.segment_class)
+        mask_hw=cfg.mask_hw, n_class=cfg.segment_class,
+        photometric=cfg.use_photometric)

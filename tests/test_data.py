@@ -241,3 +241,46 @@ def test_preprocess_nonsquare_source_and_odd_batch():
         out_hw=(24, 48), mask_hw=(3, 6), n_class=8)
     assert out["real_a"].shape == (3, 24, 48, 3)
     assert np.isfinite(np.asarray(out["real_a"])).all()
+
+
+def test_photometric_augment_stats():
+    """seq1 analog (utils.py:57-73): outputs stay in [0,1]; noise,
+    contrast and brightness vary across draws with the expected spread."""
+    img = jnp.full((16, 16, 3), 0.5, jnp.float32)
+    outs = np.stack([np.asarray(augment.photometric_augment(
+        jax.random.PRNGKey(i), img)) for i in range(60)])
+    assert outs.min() >= 0.0 and outs.max() <= 1.0
+    # additive gaussian noise: some draws must show clear per-pixel spread
+    stds = outs.std(axis=(1, 2, 3))
+    assert stds.max() > 0.01
+    # contrast/multiply move the image mean around the 0.5 input
+    means = outs.mean(axis=(1, 2, 3))
+    assert means.std() > 0.01
+    assert 0.3 < means.mean() < 0.7
+
+
+def test_photometric_blur_reduces_high_freq():
+    # checkerboard: blur-on draws must lose variance vs the input
+    yy, xx = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+    img = jnp.asarray(((yy + xx) % 2).astype(np.float32))[..., None]
+    img = jnp.tile(img, (1, 1, 3)) * 0.5 + 0.25
+    v_in = float(jnp.var(img))
+    vs = [float(jnp.var(augment.photometric_augment(jax.random.PRNGKey(i),
+                                                    img)))
+          for i in range(40)]
+    assert min(vs) < v_in * 0.9  # strong-blur draws exist
+
+
+def test_photometric_gated_by_aug_flag():
+    """photometric=True must be a no-op for samples with aug flag off."""
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (2, 32, 32, 3), np.uint8)
+    cls = rng.integers(0, 8, (2, 32, 32), np.uint8)
+    kw = dict(out_hw=(16, 16), mask_hw=(2, 2), n_class=8)
+    flags = jnp.zeros((2,), bool)
+    a = preprocess.preprocess_train(img, img, cls, jax.random.PRNGKey(0),
+                                    flags, photometric=True, **kw)
+    b = preprocess.preprocess_train(img, img, cls, jax.random.PRNGKey(0),
+                                    flags, photometric=False, **kw)
+    np.testing.assert_allclose(np.asarray(a["real_a"]),
+                               np.asarray(b["real_a"]), atol=1e-6)
