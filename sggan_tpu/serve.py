@@ -1,12 +1,16 @@
 """Minimal production inference service.
 
 POST a PNG to /translate and receive the translated PNG; GET /healthz for
-liveness.  The generator runs as a single jitted (or AOT-exported)
-function with a fixed input shape; requests are decoded on the host,
-resized device-side, translated, and re-encoded.
+liveness.  The deployment artifact is an AOT-exported (jax.export /
+StableHLO) generator that reloads and executes without retracing Python —
+pass it as --artifact; without one the service falls back to building the
+trainer's jitted generator from the latest checkpoint.
 
-    python -m sggan_tpu.serve --checkpoint_dir ./checkpoint \
-        --dataset_dir city --img_height 128 --img_width 128 --port 8000
+    # one-time: bake checkpoint + test-time input convention into an artifact
+    python -m sggan_tpu.serve --export --artifact gen.stablehlo \
+        --checkpoint_dir ./checkpoint --dataset_dir city
+    # serve it
+    python -m sggan_tpu.serve --artifact gen.stablehlo --port 8000
 
 No reference counterpart (SURVEY lists only the batch test loop); this is
 the deployment surface expected of a production framework.
@@ -14,33 +18,73 @@ the deployment surface expected of a production framework.
 
 from __future__ import annotations
 
+import dataclasses
 import io
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
 
 import jax
 import numpy as np
 from PIL import Image
 
-from .config import Config, build_parser, parse_args
-from .train.trainer import Trainer
+from .config import Config, build_parser
+
+
+def export_artifact(cfg: Config, path: str) -> bool:
+    """Load the latest checkpoint and AOT-export the FULL test-time
+    generator (including the test_uint8_input input-scale compat,
+    model.py:555-561) to `path`.  Returns checkpoint_loaded."""
+    import jax.numpy as jnp
+
+    from .train.trainer import Trainer
+    from .utils import checkpoint as ckpt
+    from .utils import export as gexport
+
+    trainer = Trainer(cfg.replace(phase="test"))
+    restored = ckpt.load(trainer.state, cfg.checkpoint_dir, cfg.dataset_dir)
+    loaded = restored is not None
+    if loaded:
+        trainer.state = restored
+    gen_params, gen_bn = trainer.state.gen_params, trainer.state.gen_bn
+
+    def fwd(x):  # x: (1, H, W, 3) float32 in [0, 1]
+        if cfg.test_uint8_input:
+            x = jnp.round(x * 255.0)
+        return trainer._gen_forward(gen_params, gen_bn, x)
+
+    h, w = cfg.image_height, cfg.image_width
+    spec = jax.ShapeDtypeStruct((1, h, w, 3), jnp.float32)
+    gexport.save(path, gexport.export_fn(fwd, spec))
+    return loaded
 
 
 class _Service:
-    def __init__(self, cfg: Config):
+    def __init__(self, cfg: Config, artifact: Optional[str] = None):
         self.cfg = cfg
-        self.trainer = Trainer(cfg.replace(phase="test"))
-        from .utils import checkpoint as ckpt
-        restored = ckpt.load(self.trainer.state, cfg.checkpoint_dir,
-                             cfg.dataset_dir)
-        self.loaded = restored is not None
-        if self.loaded:
-            self.trainer.state = restored
-        self._lock = threading.Lock()
-        # warm the compile with a zero image
         h, w = cfg.image_height, cfg.image_width
-        self.trainer.generate(np.zeros((1, h, w, 3), np.float32))
+        self.artifact = bool(artifact) and os.path.exists(artifact)
+        if self.artifact:
+            # deployment path: serialized StableHLO, no Python retrace,
+            # checkpoint + input convention baked in at export time
+            from .utils import export as gexport
+            self._fn = gexport.load(artifact)
+            self.loaded = True
+        else:
+            from .train.trainer import Trainer
+            from .utils import checkpoint as ckpt
+            trainer = Trainer(cfg.replace(phase="test"))
+            restored = ckpt.load(trainer.state, cfg.checkpoint_dir,
+                                 cfg.dataset_dir)
+            self.loaded = restored is not None
+            if self.loaded:
+                trainer.state = restored
+            self._fn = lambda x: trainer.generate(x)
+        self._lock = threading.Lock()
+        # warm the compile/execute path with a zero image
+        self._fn(np.zeros((1, h, w, 3), np.float32))
 
     def translate_png(self, png_bytes: bytes) -> bytes:
         img = Image.open(io.BytesIO(png_bytes)).convert("RGB")
@@ -48,7 +92,7 @@ class _Service:
         img = img.resize((w, h), Image.BILINEAR)
         x = np.asarray(img, np.float32)[None] / 255.0
         with self._lock:  # one device stream
-            fake = self.trainer.generate(x)
+            fake = np.asarray(self._fn(x))
         out = ((fake[0] + 1.0) / 2.0 * 255).astype(np.uint8)
         buf = io.BytesIO()
         Image.fromarray(out).save(buf, format="PNG")
@@ -64,6 +108,7 @@ def make_handler(service: _Service):
             if self.path == "/healthz":
                 body = json.dumps({
                     "ok": True, "checkpoint_loaded": service.loaded,
+                    "artifact": service.artifact,
                     "backend": jax.default_backend(),
                     "image_size": list(service.cfg.image_size),
                 }).encode()
@@ -95,10 +140,12 @@ def make_handler(service: _Service):
     return Handler
 
 
-def serve(cfg: Config, port: int = 8000, block: bool = True):
-    service = _Service(cfg)
+def serve(cfg: Config, port: int = 8000, block: bool = True,
+          artifact: Optional[str] = None):
+    service = _Service(cfg, artifact=artifact)
     httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(service))
-    print(f"serving on :{port} (checkpoint_loaded={service.loaded})")
+    print(f"serving on :{port} (checkpoint_loaded={service.loaded} "
+          f"artifact={service.artifact})")
     if block:
         httpd.serve_forever()
     return httpd
@@ -107,10 +154,21 @@ def serve(cfg: Config, port: int = 8000, block: bool = True):
 def main(argv=None):
     p = build_parser()
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--artifact", default=None,
+                   help="AOT-exported generator artifact; used when the "
+                        "file exists, created by --export")
+    p.add_argument("--export", action="store_true",
+                   help="export the artifact to --artifact and exit")
     ns = p.parse_args(argv)
-    port = ns.port
-    cfg = parse_args([a for a in (argv or []) if not a.startswith("--port")])
-    serve(cfg, port)
+    fields = {f.name for f in dataclasses.fields(Config)}
+    cfg = Config(**{k: v for k, v in vars(ns).items() if k in fields})
+    if ns.export:
+        if not ns.artifact:
+            p.error("--export requires --artifact PATH")
+        loaded = export_artifact(cfg, ns.artifact)
+        print(f"exported {ns.artifact} (checkpoint_loaded={loaded})")
+        return
+    serve(cfg, ns.port, artifact=ns.artifact)
 
 
 if __name__ == "__main__":

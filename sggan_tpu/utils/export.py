@@ -29,6 +29,13 @@ def export_generator(gen_apply, params, image_hw, batch_size: int = 1,
     return exported.serialize()
 
 
+def export_fn(fn, *arg_specs) -> bytes:
+    """Serialize an arbitrary jittable `fn(*args)` for the given
+    ShapeDtypeStruct arg specs (used by serve.py to bake the full
+    test-time input convention into the deployment artifact)."""
+    return jexport.export(jax.jit(fn))(*arg_specs).serialize()
+
+
 def load_generator(blob: bytes):
     """Deserialize an exported generator; returns a callable(x)."""
     exported = jexport.deserialize(blob)

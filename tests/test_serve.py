@@ -32,6 +32,76 @@ def test_export_roundtrip(tmp_path):
                                rtol=1e-5, atol=1e-5)
 
 
+def _post_png(port, arr):
+    img = Image.fromarray(arr)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/translate", data=buf.getvalue(),
+        headers={"Content-Type": "image/png"})
+    with urllib.request.urlopen(req) as r:
+        return np.asarray(Image.open(io.BytesIO(r.read())))
+
+
+def test_http_service_artifact_path(tmp_path):
+    """The deployment path: --export bakes checkpoint + input convention
+    into a StableHLO artifact; serve() loads it without building a
+    Trainer, and serves identical pixels to the fallback jit path."""
+    from sggan_tpu import serve as srv
+
+    cfg = Config(dataset_dir=str(tmp_path), image_height=32, image_width=32,
+                 ngf=4, ndf=4, segment_class=8, compute_dtype="float32",
+                 use_resnet=True, checkpoint_dir=str(tmp_path / "ckpt"))
+    art = str(tmp_path / "gen.stablehlo")
+    srv.export_artifact(cfg, art)
+    rng_img = np.random.default_rng(1).integers(0, 255, (32, 32, 3),
+                                                np.uint8)
+
+    httpd = srv.serve(cfg, port=0, block=False, artifact=art)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz") as r:
+            health = json.loads(r.read())
+        assert health["artifact"] is True
+        fake_art = _post_png(port, rng_img)
+        assert fake_art.shape == (32, 32, 3)
+    finally:
+        httpd.shutdown()
+
+    # fallback (no artifact) must produce the same pixels (same fresh-init
+    # params: both paths build Trainer with the same cfg/data_seed)
+    httpd = srv.serve(cfg, port=0, block=False)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        fake_jit = _post_png(port, rng_img)
+    finally:
+        httpd.shutdown()
+    np.testing.assert_allclose(fake_art.astype(int), fake_jit.astype(int),
+                               atol=1)
+
+
+def test_serve_cli_port_value_form(tmp_path, monkeypatch):
+    """Regression: `--port 8000` (space-separated) must parse — the old
+    main() re-parsed argv minus only the '--port' token and crashed on
+    the bare value."""
+    from sggan_tpu import serve as srv
+
+    seen = {}
+    monkeypatch.setattr(srv, "serve",
+                        lambda cfg, port, artifact=None:
+                        seen.update(port=port, cfg=cfg))
+    srv.main(["--port", "8123", "--img_height", "32", "--img_width", "32",
+              "--ngf", "4", "--ndf", "4", "--segment_class", "8",
+              "--dataset_dir", str(tmp_path)])
+    assert seen["port"] == 8123
+    assert seen["cfg"].image_height == 32
+
+
 def test_http_service(tmp_path):
     from sggan_tpu import serve as srv
 
