@@ -1,0 +1,191 @@
+"""Op-level TF-semantics oracles (VERDICT round-1 item 6).
+
+End-to-end pixel parity vs the reference generator is unmeasurable here
+(the reference repo ships no checkpoint and this image has no TF), so
+these tests pin the *semantics* our ops must share with TF against
+independent numpy oracles implementing TF's documented algorithms:
+
+* conv2d 'SAME' — asymmetric padding (extra on bottom/right) at odd
+  sizes / even kernels: pad_total = max((ceil(H/s)-1)*s + k - H, 0),
+  pad_top = pad_total // 2  (tf.nn.conv2d docs; module.py's convs);
+* conv2d 'VALID' stride 2 (discriminator h31/h32, module.py:299-305);
+* Conv2DTranspose 'SAME' — the gradient of the SAME conv, output size
+  exactly in*stride (module.py:254-258 upsampling), including the odd
+  output-size cases where the scatter offset depends on the padding split;
+* tfa InstanceNormalization — eps=1e-3 INSIDE the rsqrt, per-sample
+  per-channel spatial moments, affine (module.py:6,138);
+* tf.nn.sigmoid_cross_entropy_with_logits (model.py:150,161).
+
+If any of our ops drift from TF semantics these fail.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sggan_tpu import losses
+from sggan_tpu.ops import layers, norm
+
+
+# --------------------------------------------------------- numpy oracles
+
+def _same_pads(size, k, s):
+    out = -(-size // s)  # ceil
+    pad_total = max((out - 1) * s + k - size, 0)
+    return pad_total // 2, pad_total - pad_total // 2
+
+
+def np_conv2d(x, w, stride, padding):
+    """Direct-loop TF conv2d. x: (N,H,W,Ci), w: (kh,kw,Ci,Co)."""
+    n, h, wd, ci = x.shape
+    kh, kw, _, co = w.shape
+    if padding == "SAME":
+        (pt, pb), (pl, pr) = _same_pads(h, kh, stride), _same_pads(wd, kw,
+                                                                   stride)
+        x = np.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
+        oh, ow = -(-h // stride), -(-wd // stride)
+    else:
+        oh = (h - kh) // stride + 1
+        ow = (wd - kw) // stride + 1
+    out = np.zeros((n, oh, ow, co), np.float64)
+    for i in range(oh):
+        for j in range(ow):
+            patch = x[:, i * stride:i * stride + kh,
+                      j * stride:j * stride + kw, :]
+            out[:, i, j, :] = np.einsum("nhwc,hwco->no", patch, w)
+    return out
+
+
+def np_conv2d_transpose_same(x, w, stride):
+    """TF Conv2DTranspose 'SAME': the gradient of np_conv2d(..., 'SAME')
+    w.r.t. its input, with output size in*stride.
+    x: (N,h,w,Ci); w: (kh,kw,Co,Ci) — TF transpose kernel layout."""
+    n, h, wd, ci = x.shape
+    kh, kw, co, _ = w.shape
+    oh, ow = h * stride, wd * stride
+    (pt, _), (pl, _) = _same_pads(oh, kh, stride), _same_pads(ow, kw, stride)
+    out = np.zeros((n, oh, ow, co), np.float64)
+    for i in range(h):
+        for j in range(wd):
+            for ki in range(kh):
+                oi = i * stride + ki - pt
+                if not (0 <= oi < oh):
+                    continue
+                for kj in range(kw):
+                    oj = j * stride + kj - pl
+                    if not (0 <= oj < ow):
+                        continue
+                    out[:, oi, oj, :] += np.einsum(
+                        "nc,oc->no", x[:, i, j, :], w[ki, kj])
+    return out
+
+
+# -------------------------------------------------------------- conv2d
+
+@pytest.mark.parametrize("hw,k,s", [
+    ((5, 7), 3, 2),   # odd size, odd kernel, stride 2
+    ((5, 7), 4, 2),   # even kernel -> asymmetric SAME padding
+    ((9, 5), 7, 1),   # big kernel (c7s1 blocks)
+    ((6, 6), 4, 1),   # discriminator h4-ish
+])
+def test_conv2d_same_matches_tf_oracle(hw, k, s):
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, *hw, 3)).astype(np.float32)
+    w = rng.normal(size=(k, k, 3, 5)).astype(np.float32)
+    got = layers.conv2d({"w": jnp.asarray(w)}, jnp.asarray(x), s, "SAME")
+    want = np_conv2d(x, w, s, "SAME")
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_conv2d_valid_stride2_matches_tf_oracle():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(1, 16, 16, 4)).astype(np.float32)
+    w = rng.normal(size=(4, 4, 4, 6)).astype(np.float32)
+    got = layers.conv2d({"w": jnp.asarray(w)}, jnp.asarray(x), 2, "VALID")
+    want = np_conv2d(x, w, 2, "VALID")
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+# ----------------------------------------------------- conv2d_transpose
+
+@pytest.mark.parametrize("hw,k,s", [
+    ((5, 7), 3, 2),   # odd input -> odd*2 output
+    ((5, 7), 4, 2),   # the reference's k=4 upsamples (module.py:29-46)
+    ((5, 5), 3, 3),   # stride 3: pad split exercises the offset math
+    ((4, 6), 3, 2),
+    ((7, 3), 7, 1),   # stride 1 SAME
+])
+def test_conv2d_transpose_same_matches_tf_oracle(hw, k, s):
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, *hw, 3)).astype(np.float32)
+    w = rng.normal(size=(k, k, 5, 3)).astype(np.float32)  # (kh,kw,out,in)
+    got = layers.conv2d_transpose({"w": jnp.asarray(w)}, jnp.asarray(x), s,
+                                  "SAME")
+    want = np_conv2d_transpose_same(x, w, s)
+    assert got.shape == want.shape == (2, hw[0] * s, hw[1] * s, 5)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_conv_transpose_is_exact_gradient_of_same_conv():
+    """ConvT(x, w) must equal d/d(input) <conv_SAME(input, w'), x> — the
+    defining property TF implements."""
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(1, 5, 5, 2)).astype(np.float32)  # cotangent
+    # one array, two layout readings: forward HWIO (kh,kw,cin=3,cout=2)
+    # and ConvT (kh,kw,out=3,in=2) — TF's Conv2DTranspose convention
+    w = rng.normal(size=(4, 4, 3, 2)).astype(np.float32)
+
+    def fwd(inp):
+        return jnp.sum(layers.conv2d({"w": jnp.asarray(w)}, inp, 2, "SAME")
+                       * jnp.asarray(x))
+
+    grad = jax.grad(fwd)(jnp.zeros((1, 10, 10, 3), jnp.float32))
+    got = layers.conv2d_transpose({"w": jnp.asarray(w)}, jnp.asarray(x), 2,
+                                  "SAME")
+    assert got.shape == grad.shape == (1, 10, 10, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(grad),
+                               rtol=1e-4, atol=1e-5)
+
+
+# -------------------------------------------------------- instance norm
+
+def test_instance_norm_matches_tfa_oracle():
+    """tfa GroupNorm(groups=C): y = (x-mean)/sqrt(var+1e-3)*gamma+beta,
+    moments per sample/channel over HW, eps inside the sqrt."""
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(2, 6, 5, 3)).astype(np.float32) * 3 + 1
+    gamma = rng.normal(size=(3,)).astype(np.float32)
+    beta = rng.normal(size=(3,)).astype(np.float32)
+    got = norm.instance_norm({"gamma": jnp.asarray(gamma),
+                              "beta": jnp.asarray(beta)}, jnp.asarray(x))
+    mean = x.mean(axis=(1, 2), keepdims=True)
+    var = x.var(axis=(1, 2), keepdims=True)
+    want = (x - mean) / np.sqrt(var + 1e-3) * gamma + beta
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_instance_norm_eps_placement():
+    """A constant image must normalize to exactly beta (var=0 -> the eps
+    keeps it finite); if eps were outside the sqrt this still holds, but
+    a near-constant image distinguishes sqrt(var+eps) from sqrt(var)+eps."""
+    x = np.full((1, 4, 4, 1), 7.0, np.float32)
+    x[0, 0, 0, 0] = 7.1
+    var = x.var(axis=(1, 2), keepdims=True)
+    want = (x - x.mean(axis=(1, 2), keepdims=True)) / np.sqrt(var + 1e-3)
+    got = norm.instance_norm(norm.instance_norm_init(1), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+
+# ------------------------------------------------------------ sigmoid CE
+
+def test_sigmoid_ce_matches_tf_oracle():
+    rng = np.random.default_rng(5)
+    logits = rng.normal(size=(64,)).astype(np.float32) * 8
+    labels = rng.uniform(size=(64,)).astype(np.float32)
+    sig = 1.0 / (1.0 + np.exp(-logits.astype(np.float64)))
+    want = -(labels * np.log(sig) + (1 - labels) * np.log1p(-sig))
+    got = losses.sigmoid_ce(jnp.asarray(logits), jnp.asarray(labels))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
