@@ -82,6 +82,14 @@ def load_npz_weights(path_or_file, net: str, params):
     return assign_flat_weights(flat, net, params)
 
 
+def load_bundle_weights(prefix: str, net: str, params):
+    """Load a reference ``Model.save_weights`` TensorBundle checkpoint
+    (e.g. checkpoint/<ds>/gen/cp-0021.ckpt) directly — no TF, no npz
+    export step (tf_bundle.py)."""
+    from .tf_bundle import keras_weights
+    return assign_flat_weights(keras_weights(prefix), net, params)
+
+
 def assign_flat_weights(flat, net: str, params):
     layout = _LAYOUTS[net]()
     if len(flat) != len(layout):
