@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .ops.deriv import seg_boundary_weight, tf_deriv
+from .ops.deriv import seg_boundary_weight, sobel_xy, tf_deriv
 
 
 # ---------------------------------------------------------------- criterions
@@ -56,9 +56,17 @@ def bce_from_logits(labels, logits):
 
 def gradloss_criterion(in_, target, weight):
     """Gradient-sensitive semantic loss — module.py:347-351: mean over the
-    boundary-weighted per-pixel mean |(|∇in| - |∇target|)| (Sobel)."""
-    d = jnp.abs(jnp.abs(tf_deriv(in_)) - jnp.abs(tf_deriv(target)))
-    d = jnp.mean(d, axis=-1, keepdims=True)
+    boundary-weighted per-pixel mean |(|∇in| - |∇target|)| (Sobel).
+
+    Uses the shift-based Sobel (ops.deriv.sobel_xy) so the whole loss —
+    derivatives included — collapses into one XLA reduction fusion
+    instead of materializing two (N, H, W, 2C) depthwise-conv outputs;
+    numerics identical to the tf_deriv form (tested)."""
+    dxi, dyi = sobel_xy(in_)
+    dxt, dyt = sobel_xy(target)
+    d = jnp.abs(jnp.abs(dxi) - jnp.abs(dxt)) \
+        + jnp.abs(jnp.abs(dyi) - jnp.abs(dyt))
+    d = jnp.sum(d, axis=-1, keepdims=True) / (2.0 * in_.shape[-1])
     return jnp.mean(weight * d)
 
 

@@ -73,5 +73,11 @@ def apply(params, x, compute_dtype=None, use_pallas=None, rng=None,
     y = conv2d_transpose(params["d2"], y, 2, "SAME", cd)
     y = instance_norm(params["d2_in"], y, act="relu", use_pallas=use_pallas)
     y = reflect_pad(y, 3)
-    y = conv2d(params["out"], y, 1, "VALID", cd)
+    # space-to-depth form of the 64->3 head: same math, ~16x less MXU
+    # lane waste at N=3 (ops/s2d.py; PERF.md round 2)
+    from ..ops import s2d
+    if s2d.applicable(y, params["out"]["w"]):
+        y = s2d.conv2d_valid_s2d(params["out"], y, compute_dtype=cd)
+    else:
+        y = conv2d(params["out"], y, 1, "VALID", cd)
     return tanh(y.astype(jnp.float32))

@@ -63,11 +63,47 @@ def tf_deriv(x, padding: str = "SAME"):
     return depthwise_conv2d(x, deriv_kernel_sobel(x.shape[-1]), padding)
 
 
+def _shift(x, di: int, dj: int):
+    """out[i, j] = x[i+di, j+dj] with zeros outside (SAME-conv reach).
+    Pure pad+slice — fuses into XLA loop fusions, unlike a conv."""
+    n, h, w, c = x.shape
+    x = jnp.pad(x, ((0, 0), (max(-di, 0), max(di, 0)),
+                    (max(-dj, 0), max(dj, 0)), (0, 0)))
+    return x[:, max(di, 0):max(di, 0) + h, max(dj, 0):max(dj, 0) + w, :]
+
+
+def sobel_xy(x):
+    """(dx, dy) Sobel derivatives, numerically equal to ``tf_deriv``'s
+    SAME depthwise conv but built from shifted adds so XLA fuses them into
+    the consuming loss instead of materializing (N, H, W, 2C) conv
+    outputs (the conv forms cost ~9 ms/step at 256x512 b=16; this form is
+    HBM-minimal — see PERF.md round 2)."""
+    xf = x.astype(jnp.float32)
+    left = _shift(xf, 0, -1)
+    right = _shift(xf, 0, 1)
+    up = _shift(xf, -1, 0)
+    down = _shift(xf, 1, 0)
+    ul = _shift(xf, -1, -1)
+    ur = _shift(xf, -1, 1)
+    dl = _shift(xf, 1, -1)
+    dr = _shift(xf, 1, 1)
+    dx = (ur - ul) + 2.0 * (right - left) + (dr - dl)
+    dy = (dl - ul) + 2.0 * (down - up) + (dr - ur)
+    return dx, dy
+
+
 def seg_boundary_weight(seg):
     """Class-boundary weight map for the gradient-sensitive loss — parity
     with model.py:115-119: REFLECT-pad 1, central-difference depthwise conv
-    (VALID), |sign(sum_c |∇seg|)| -> (N, H, W, 1) in {0, 1}."""
+    (VALID), |sign(sum_c |∇seg|)| -> (N, H, W, 1) in {0, 1}.
+
+    Built from shifted adds on the reflect-padded map (numerically equal
+    to the depthwise-conv form, fully fusable)."""
     segp = reflect_pad(seg.astype(jnp.float32), 1)
-    conved = jnp.abs(depthwise_conv2d(segp, deriv_kernel_diff(seg.shape[-1]),
-                                      padding="VALID"))
-    return jnp.abs(jnp.sign(jnp.sum(conved, axis=-1, keepdims=True)))
+    n, hp, wp, c = segp.shape
+    inner = lambda di, dj: segp[:, 1 + di:hp - 1 + di, 1 + dj:wp - 1 + dj, :]
+    dx = inner(0, 1) - inner(0, -1)
+    dy = inner(1, 0) - inner(-1, 0)
+    total = jnp.sum(jnp.abs(dx), axis=-1, keepdims=True) \
+        + jnp.sum(jnp.abs(dy), axis=-1, keepdims=True)
+    return jnp.abs(jnp.sign(total))

@@ -17,6 +17,7 @@ used by the pix2pix generator/discriminator (reference module.py:23,39).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -44,6 +45,84 @@ def _instance_norm_xla(x, gamma, beta, eps, act, alpha):
     return y.astype(x.dtype)
 
 
+def _moments_1pass(xf):
+    """Per-(sample, channel) spatial mean/var in ONE multi-operand
+    lax.reduce pass — XLA otherwise emits separate convert_reduce fusions
+    for sum and sum-of-squares, each a full HBM read of the activation
+    (~15 ms/generator-forward at 256x512 b=16, see PERF.md round 2).
+
+    Numerics note: var = E[x^2] - mean^2 cancels in f32 when |mean| >>
+    std; the absolute error is bounded by ~mean^2 * 2^-24, i.e. a
+    relative normalization error of mean^2 * 6e-8 / (var + eps) — with
+    eps = 1e-3 that is < 1e-4 for |mean| < 40, far inside the bf16
+    compute noise of the surrounding convs (tfa itself uses the two-pass
+    form; tests/test_tf_parity.py pins the eps semantics)."""
+    n = xf.shape[1] * xf.shape[2]
+    s1, s2 = lax.reduce((xf, xf * xf),
+                        (jnp.float32(0), jnp.float32(0)),
+                        lambda a, b: (a[0] + b[0], a[1] + b[1]), (1, 2))
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
+    return mean[:, None, None, :], var[:, None, None, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _in_fused(x, gamma, beta, eps, act, alpha):
+    xf = x.astype(jnp.float32)
+    mean, var = _moments_1pass(xf)
+    y = (xf - mean) * lax.rsqrt(var + eps)
+    y = y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    if act == "relu":
+        y = jnp.maximum(y, 0)
+    elif act == "leaky_relu":
+        y = jnp.where(y >= 0, y, alpha * y)
+    return y.astype(x.dtype)
+
+
+def _in_fused_fwd(x, gamma, beta, eps, act, alpha):
+    xf = x.astype(jnp.float32)
+    mean, var = _moments_1pass(xf)
+    rsig = lax.rsqrt(var + eps)
+    xhat = (xf - mean) * rsig
+    y = xhat * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    if act == "relu":
+        y = jnp.maximum(y, 0)
+    elif act == "leaky_relu":
+        y = jnp.where(y >= 0, y, alpha * y)
+    # save x + tiny per-(n,c) stats; xhat is recomputed in bwd (same HBM
+    # traffic as saving it, without holding a second full tensor live)
+    return y.astype(x.dtype), (x, gamma, beta, mean, rsig)
+
+
+def _in_fused_bwd(eps, act, alpha, res, dy):
+    x, gamma, beta, mean, rsig = res
+    xf = x.astype(jnp.float32)
+    dyf = dy.astype(jnp.float32)
+    gf = gamma.astype(jnp.float32)
+    xhat = (xf - mean) * rsig
+    if act is not None:
+        pre = xhat * gf + beta.astype(jnp.float32)
+        if act == "relu":
+            dyf = jnp.where(pre > 0, dyf, 0.0)
+        elif act == "leaky_relu":
+            dyf = jnp.where(pre >= 0, dyf, alpha * dyf)
+    n = x.shape[1] * x.shape[2]
+    # one pass over (dy, dy*xhat) for all three reductions
+    s_dy, s_dyx = lax.reduce((dyf, dyf * xhat),
+                             (jnp.float32(0), jnp.float32(0)),
+                             lambda a, b: (a[0] + b[0], a[1] + b[1]),
+                             (1, 2))
+    dgamma = jnp.sum(s_dyx, axis=0).astype(gamma.dtype)
+    dbeta = jnp.sum(s_dy, axis=0).astype(beta.dtype)
+    m_dy = (s_dy / n)[:, None, None, :]
+    m_dyx = (s_dyx / n)[:, None, None, :]
+    dx = (rsig * gf) * (dyf - m_dy - xhat * m_dyx)
+    return dx.astype(x.dtype), dgamma, dbeta
+
+
+_in_fused.defvjp(_in_fused_fwd, _in_fused_bwd)
+
+
 def instance_norm(params, x, eps: float = IN_EPS, act: Optional[str] = None,
                   alpha: float = 0.3, use_pallas: Optional[bool] = None):
     """Instance norm with optional fused activation.
@@ -68,7 +147,7 @@ def instance_norm(params, x, eps: float = IN_EPS, act: Optional[str] = None,
             return instance_norm_pallas(x, gamma, beta, eps, act, alpha)
         except ImportError:
             pass
-    return _instance_norm_xla(x, gamma, beta, eps, act, alpha)
+    return _in_fused(x, gamma, beta, eps, act, alpha)
 
 
 def _on_tpu() -> bool:

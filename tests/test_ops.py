@@ -126,3 +126,86 @@ def test_dropout():
     np.testing.assert_allclose(kept, 2.0)
     np.testing.assert_allclose(
         np.asarray(ops.dropout(key, x, 0.5, deterministic=True)), 1.0)
+
+
+def test_sobel_shifts_match_depthwise_conv():
+    """sobel_xy (fusable shifted adds) must equal tf_deriv's depthwise
+    conv exactly (channel-major (dx, dy) interleave)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sggan_tpu.ops.deriv import sobel_xy, tf_deriv
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 9, 11, 3))
+    conv = np.asarray(tf_deriv(x))
+    dx, dy = sobel_xy(x)
+    np.testing.assert_allclose(np.asarray(dx), conv[..., 0::2], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dy), conv[..., 1::2], atol=1e-5)
+
+
+def test_gradloss_matches_conv_form():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sggan_tpu import losses
+    from sggan_tpu.ops.deriv import tf_deriv
+    k = jax.random.PRNGKey(1)
+    a = jax.random.uniform(k, (2, 8, 8, 3))
+    b = jax.random.uniform(jax.random.fold_in(k, 1), (2, 8, 8, 3))
+    w = jnp.ones((2, 8, 8, 1))
+    ref = jnp.mean(w * jnp.mean(
+        jnp.abs(jnp.abs(tf_deriv(a)) - jnp.abs(tf_deriv(b))),
+        axis=-1, keepdims=True))
+    got = losses.gradloss_criterion(a, b, w)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-6)
+
+
+def test_in_fused_matches_autodiff():
+    """The custom-VJP one-pass instance norm must match the plain two-pass
+    XLA form in value AND gradients (x, gamma, beta), for every fused
+    activation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sggan_tpu.ops.norm import _in_fused, _instance_norm_xla
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (2, 6, 5, 4)) * 2 + 1
+    g = jax.random.normal(jax.random.fold_in(k, 1), (4,))
+    b = jax.random.normal(jax.random.fold_in(k, 2), (4,))
+    ct = jax.random.normal(jax.random.fold_in(k, 3), (2, 6, 5, 4))
+    for act in (None, "relu", "leaky_relu"):
+        ref = _instance_norm_xla(x, g, b, 1e-3, act, 0.3)
+        got = _in_fused(x, g, b, 1e-3, act, 0.3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        ref_g = jax.grad(lambda *a: jnp.sum(
+            _instance_norm_xla(*a, 1e-3, act, 0.3) * ct),
+            argnums=(0, 1, 2))(x, g, b)
+        got_g = jax.grad(lambda *a: jnp.sum(
+            _in_fused(*a, 1e-3, act, 0.3) * ct), argnums=(0, 1, 2))(x, g, b)
+        for r, o in zip(ref_g, got_g):
+            np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                       rtol=2e-4, atol=2e-5)
+
+
+def test_conv2d_valid_s2d_matches_direct():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sggan_tpu.ops import conv2d, conv2d_init
+    from sggan_tpu.ops import s2d
+    k = jax.random.PRNGKey(0)
+    p = conv2d_init(k, 7, 7, 8, 3)
+    x = jax.random.uniform(jax.random.fold_in(k, 1), (2, 22, 38, 8))
+    assert s2d.applicable(x, p["w"])
+    ref = conv2d(p, x, 1, "VALID")
+    got = s2d.conv2d_valid_s2d(p, x)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+    # gradient path (the head trains)
+    g1 = jax.grad(lambda w: jnp.sum(jnp.square(
+        conv2d({"w": w, "b": p["b"]}, x, 1, "VALID"))))(p["w"])
+    g2 = jax.grad(lambda w: jnp.sum(jnp.square(
+        s2d.conv2d_valid_s2d({"w": w, "b": p["b"]}, x))))(p["w"])
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                               rtol=1e-3, atol=1e-4)

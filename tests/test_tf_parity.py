@@ -168,15 +168,25 @@ def test_instance_norm_matches_tfa_oracle():
 
 
 def test_instance_norm_eps_placement():
-    """A constant image must normalize to exactly beta (var=0 -> the eps
-    keeps it finite); if eps were outside the sqrt this still holds, but
-    a near-constant image distinguishes sqrt(var+eps) from sqrt(var)+eps."""
-    x = np.full((1, 4, 4, 1), 7.0, np.float32)
-    x[0, 0, 0, 0] = 7.1
+    """sqrt(var + eps), not sqrt(var) + eps: at var ~ 0.05 the two forms
+    differ by ~2%, far above the one-pass moment computation's f32 error
+    bound (mean^2 * 2^-24 / (var + eps), see ops/norm.py)."""
+    rng = np.random.default_rng(7)
+    x = (rng.normal(size=(1, 8, 8, 1)) * 0.22 + 0.4).astype(np.float32)
+    mean = x.mean(axis=(1, 2), keepdims=True)
     var = x.var(axis=(1, 2), keepdims=True)
-    want = (x - x.mean(axis=(1, 2), keepdims=True)) / np.sqrt(var + 1e-3)
-    got = norm.instance_norm(norm.instance_norm_init(1), jnp.asarray(x))
-    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+    inside = (x - mean) / np.sqrt(var + 1e-3)
+    outside = (x - mean) / (np.sqrt(var) + 1e-3)
+    assert np.abs(inside - outside).max() > 1e-3  # the test can tell
+    got = np.asarray(norm.instance_norm(norm.instance_norm_init(1),
+                                        jnp.asarray(x)))
+    np.testing.assert_allclose(got, inside, rtol=1e-4, atol=1e-5)
+    assert np.abs(got - outside).max() > 1e-3
+    # constant image -> exactly beta (eps keeps the rsqrt finite)
+    const = np.full((1, 4, 4, 1), 7.0, np.float32)
+    got = np.asarray(norm.instance_norm(norm.instance_norm_init(1),
+                                        jnp.asarray(const)))
+    np.testing.assert_allclose(got, 0.0, atol=1e-4)
 
 
 # ------------------------------------------------------------ sigmoid CE
