@@ -128,6 +128,12 @@ class Config:
     # entirely.  0 disables.  (This host has 1 CPU core — decode, not the
     # device step, bounds real-data training without the cache.)
     decode_cache_mb: int = 8192
+    # Shrink decoded sources on the host to at most this multiple of the
+    # target size before upload (box filter; class maps nearest).  The
+    # device preprocess resizes to the target anyway; this cuts
+    # host->device transfer bytes, which dominate real-data training
+    # through a remote device relay.  0 uploads full-resolution sources.
+    host_downscale: int = 2
     log_dir: str = "logs"
 
     # ---- derived ----
@@ -240,6 +246,8 @@ def build_parser() -> argparse.ArgumentParser:
     _add_bool(p, "donate", d.donate, "donate train-state buffers under jit")
     p.add_argument("--decode_cache_mb", type=int, default=d.decode_cache_mb,
                    help="decoded-image RAM cache budget (MB), 0 disables")
+    p.add_argument("--host_downscale", type=int, default=d.host_downscale,
+                   help="host-side source downscale cap (x target size), 0 = full res")
     p.add_argument("--log_dir", default=d.log_dir)
     return p
 

@@ -70,10 +70,24 @@ class Dataset:
         return p.replace(split, split + "_seg_class")
 
 
-def _load_triplet(path: str, split: str, cache_bytes: int = 0
+def _downscale(img: np.ndarray, max_hw, nearest: bool = False) -> np.ndarray:
+    """Host-side box/nearest downscale to at most max_hw.  The device
+    preprocess resizes to the target anyway; pre-shrinking on the host
+    cuts host->device transfer bytes, which dominate real-data training
+    through this environment's remote device relay (PERF.md round 2)."""
+    mh, mw = max_hw
+    if img.shape[0] <= mh and img.shape[1] <= mw:
+        return img
+    from PIL import Image
+    mode = Image.NEAREST if nearest else Image.BOX
+    return np.asarray(Image.fromarray(img).resize((mw, mh), mode))
+
+
+def _load_triplet(path: str, split: str, cache_bytes: int = 0,
+                  max_hw: Optional[Tuple[int, int]] = None
                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     global _cache_bytes
-    key = (path, split)
+    key = (path, split, max_hw)
     if cache_bytes:
         with _cache_lock:
             hit = _cache.get(key)
@@ -89,6 +103,10 @@ def _load_triplet(path: str, split: str, cache_bytes: int = 0
     seg = seg[..., :3] if seg.ndim == 3 else np.stack([seg] * 3, -1)
     if cls.ndim == 3:
         cls = cls[..., 0]
+    if max_hw is not None:
+        img = _downscale(img, max_hw)
+        seg = _downscale(seg, max_hw)
+        cls = _downscale(cls, max_hw, nearest=True)  # class ids: no mixing
     trip = (img.astype(np.uint8), seg.astype(np.uint8), cls.astype(np.uint8))
     for a in trip:
         a.setflags(write=False)  # cached arrays are shared — freeze them
@@ -103,14 +121,16 @@ def _load_triplet(path: str, split: str, cache_bytes: int = 0
     return trip
 
 
-def load_batch(paths: List[str], split: str, cache_bytes: int = 0):
+def load_batch(paths: List[str], split: str, cache_bytes: int = 0,
+               max_hw: Optional[Tuple[int, int]] = None):
     """Decode a batch of triplets; all images in a dataset must share one
     source shape (true of the reference fixtures)."""
     if len(paths) > 1:
         trips = list(_executor().map(
-            lambda p: _load_triplet(p, split, cache_bytes), paths))
+            lambda p: _load_triplet(p, split, cache_bytes, max_hw), paths))
     else:
-        trips = [_load_triplet(p, split, cache_bytes) for p in paths]
+        trips = [_load_triplet(p, split, cache_bytes, max_hw)
+                 for p in paths]
     return (np.stack([t[0] for t in trips]),
             np.stack([t[1] for t in trips]),
             np.stack([t[2] for t in trips]))
@@ -120,7 +140,9 @@ def train_iterator(root: str, batch_size: int, seed: int,
                    use_augmentation: bool = True, epoch: int = 0,
                    train_size: Optional[int] = None,
                    prefetch: int = 2, split: str = "trainA",
-                   cache_mb: int = 0) -> Iterator[dict]:
+                   cache_mb: int = 0,
+                   max_src_hw: Optional[Tuple[int, int]] = None
+                   ) -> Iterator[dict]:
     """One epoch of decoded uint8 batches, shuffled per epoch
     (model.py:220-221), prefetched on a background thread.
 
@@ -145,7 +167,8 @@ def train_iterator(root: str, batch_size: int, seed: int,
                     return
                 paths = files[b * batch_size:(b + 1) * batch_size]
                 img, seg, cls = load_batch(paths, split,
-                                           cache_bytes=cache_mb << 20)
+                                           cache_bytes=cache_mb << 20,
+                                           max_hw=max_src_hw)
                 if use_augmentation:
                     img = np.concatenate([img, img])
                     seg = np.concatenate([seg, seg])
@@ -174,8 +197,10 @@ def test_files(root: str) -> List[str]:
     return Dataset(root, "testA").files()
 
 
-def load_test_triplet(path: str, cache_mb: int = 0):
-    return _load_triplet(path, "testA", cache_bytes=cache_mb << 20)
+def load_test_triplet(path: str, cache_mb: int = 0,
+                      max_hw: Optional[Tuple[int, int]] = None):
+    return _load_triplet(path, "testA", cache_bytes=cache_mb << 20,
+                         max_hw=max_hw)
 
 
 def list_split(img_dir: str, seg_dir: str, replace_names=None):

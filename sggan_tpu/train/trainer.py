@@ -91,6 +91,11 @@ class Trainer:
             self.state = init_state(cfg, self.key)
             self.step_fn = make_train_step(cfg)
         self.preprocess = make_preprocess_train(cfg)
+        # host-side source shrink cap before upload (loader._downscale)
+        self.max_src_hw = (
+            (cfg.image_height * cfg.host_downscale,
+             cfg.image_width * cfg.host_downscale)
+            if cfg.host_downscale else None)
         self._gen_jit = jax.jit(self._gen_forward)
 
     # ------------------------------------------------------------ forward
@@ -152,13 +157,15 @@ class Trainer:
                                     use_augmentation=cfg.use_augmentation,
                                     epoch=epoch, train_size=cfg.train_size,
                                     prefetch=cfg.prefetch,
-                                    cache_mb=cfg.decode_cache_mb)
+                                    cache_mb=cfg.decode_cache_mb,
+                                    max_src_hw=self.max_src_hw)
                 if self.cycle:
                     it_b = train_iterator(
                         self.root, cfg.batch_size, cfg.data_seed + 7919,
                         use_augmentation=cfg.use_augmentation, epoch=epoch,
                         train_size=cfg.train_size, prefetch=cfg.prefetch,
-                        split="trainB", cache_mb=cfg.decode_cache_mb)
+                        split="trainB", cache_mb=cfg.decode_cache_mb,
+                        max_src_hw=self.max_src_hw)
                     it = zip(it, it_b)
                 for idx, raw in enumerate(it):
                     self.key, k_pre, k_step = jax.random.split(self.key, 3)
@@ -228,7 +235,8 @@ class Trainer:
         chunk = 8
         for c0 in range(0, len(files), chunk):
             paths = files[c0:c0 + chunk]
-            trips = [load_test_triplet(p, cache_mb=cfg.decode_cache_mb)
+            trips = [load_test_triplet(p, cache_mb=cfg.decode_cache_mb,
+                                       max_hw=self.max_src_hw)
                      for p in paths]
             img_u8 = np.stack([t[0] for t in trips])
             seg_u8 = np.stack([t[1] for t in trips])
@@ -309,7 +317,8 @@ class Trainer:
         rng = np.random.default_rng(cfg.data_seed + epoch * 10000 + idx)
         rng.shuffle(files)
         paths = files[: cfg.batch_size]  # model.py:509: batch of samples
-        trips = [load_test_triplet(p, cache_mb=cfg.decode_cache_mb)
+        trips = [load_test_triplet(p, cache_mb=cfg.decode_cache_mb,
+                                   max_hw=self.max_src_hw)
                  for p in paths]
         img_u8 = np.stack([t[0] for t in trips])
         seg_u8 = np.stack([t[1] for t in trips])

@@ -284,3 +284,20 @@ def test_photometric_gated_by_aug_flag():
                                     flags, photometric=False, **kw)
     np.testing.assert_allclose(np.asarray(a["real_a"]),
                                np.asarray(b["real_a"]), atol=1e-6)
+
+
+def test_loader_host_downscale(fixture_ds):
+    """max_src_hw shrinks decoded sources on the host (box filter; class
+    map nearest so ids never mix) before upload."""
+    files = loader.Dataset(fixture_ds, "trainA").files()
+    img, seg, cls = loader.load_batch(files[:2], "trainA",
+                                      max_hw=(16, 24))
+    assert img.shape[1:] == (16, 24, 3)
+    assert seg.shape[1:3] == (16, 24)
+    assert cls.shape[1:] == (16, 24)
+    full_img, _, full_cls = loader.load_batch(files[:2], "trainA")
+    assert set(np.unique(cls)) <= set(np.unique(full_cls))
+    # no-op when the source is already small enough
+    same, _, _ = loader.load_batch(files[:2], "trainA",
+                                   max_hw=(4096, 4096))
+    np.testing.assert_array_equal(same, full_img)
