@@ -134,6 +134,11 @@ class Config:
     # host->device transfer bytes, which dominate real-data training
     # through a remote device relay.  0 uploads full-resolution sources.
     host_downscale: int = 2
+    # HBM budget (MB) for keeping the ENTIRE training split resident on
+    # device as uint8 arrays (loader.DeviceDataset): batches become
+    # device-side gathers with zero per-step upload.  Used when the
+    # (downscaled) split fits the budget; 0 disables.
+    device_dataset_mb: int = 2048
     log_dir: str = "logs"
 
     # ---- derived ----
@@ -248,6 +253,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="decoded-image RAM cache budget (MB), 0 disables")
     p.add_argument("--host_downscale", type=int, default=d.host_downscale,
                    help="host-side source downscale cap (x target size), 0 = full res")
+    p.add_argument("--device_dataset_mb", type=int, default=d.device_dataset_mb,
+                   help="HBM budget for a device-resident training split, 0 disables")
     p.add_argument("--log_dir", default=d.log_dir)
     return p
 

@@ -217,3 +217,66 @@ def list_split(img_dir: str, seg_dir: str, replace_names=None):
         if sp in segs:
             pairs.append((ip, sp))
     return pairs
+
+
+class DeviceDataset:
+    """Entire (host-downscaled) split resident in device HBM as uint8
+    arrays; batches are device-side gathers — zero per-step host->device
+    transfer.  The reference fixture (100 triplets) fits in ~400 MB at a
+    2x-target downscale; through a remote device relay (PERF.md round 2)
+    per-step uploads otherwise dominate real-data training.
+    """
+
+    def __init__(self, root: str, split: str,
+                 max_hw: Optional[Tuple[int, int]] = None,
+                 cache_mb: int = 0, train_size: Optional[int] = None):
+        import jax
+        import jax.numpy as jnp
+        files = Dataset(root, split).files()
+        if train_size is not None:
+            files = files[: int(train_size)]
+        self.files = files
+        img, seg, cls = load_batch(files, split,
+                                   cache_bytes=cache_mb << 20,
+                                   max_hw=max_hw)
+        self.img = jax.device_put(img)
+        self.seg = jax.device_put(seg)
+        self.cls = jax.device_put(cls)
+        self.nbytes = img.nbytes + seg.nbytes + cls.nbytes
+        self._take = jax.jit(
+            lambda a, i: jnp.take(a, i, axis=0, mode="clip"))
+
+    def __len__(self):
+        return len(self.files)
+
+    def batch(self, idxs, use_augmentation: bool) -> dict:
+        """Device-side gather of a batch; with augmentation the batch is
+        doubled into (plain, to-be-augmented) halves exactly like
+        train_iterator / model.py:240-244."""
+        import jax.numpy as jnp
+        import numpy as np_
+        i = jnp.asarray(np_.asarray(idxs, np_.int32))
+        if use_augmentation:
+            i = jnp.concatenate([i, i])
+            aug = np_.concatenate([np_.zeros(len(idxs), bool),
+                                   np_.ones(len(idxs), bool)])
+        else:
+            aug = np_.zeros(len(idxs), bool)
+        return {"img": self._take(self.img, i),
+                "seg": self._take(self.seg, i),
+                "cls": self._take(self.cls, i),
+                "aug": jnp.asarray(aug)}
+
+
+def device_dataset_iterator(ds: DeviceDataset, batch_size: int, seed: int,
+                            use_augmentation: bool = True, epoch: int = 0
+                            ) -> Iterator[dict]:
+    """Epoch iterator over a DeviceDataset with the same shuffle contract
+    as train_iterator (per-epoch reshuffle, model.py:220-221)."""
+    order = np.arange(len(ds))
+    rng = np.random.default_rng(seed + epoch)
+    rng.shuffle(order)
+    n_batches = len(ds) // batch_size
+    for b in range(n_batches):
+        yield ds.batch(order[b * batch_size:(b + 1) * batch_size],
+                       use_augmentation)

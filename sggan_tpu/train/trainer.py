@@ -21,7 +21,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
-from ..data.loader import load_test_triplet, test_files, train_iterator
+from ..data.loader import (Dataset, DeviceDataset, _load_triplet,
+                           device_dataset_iterator, load_test_triplet,
+                           test_files, train_iterator)
 from ..data.preprocess import make_preprocess_train, preprocess_test
 from ..metrics.scores import scores, scores_seg_fake
 from ..models import generator_pix2pix, generator_resnet, generator_unet
@@ -124,6 +126,37 @@ class Trainer:
                                         self.state.gen_bn,
                                         jnp.asarray(x)))
 
+    def _maybe_device_dataset(self):
+        """Build the HBM-resident training split (loader.DeviceDataset)
+        when it fits cfg.device_dataset_mb — zero per-step upload.  Falls
+        back to the host iterator for cycle mode (two splits), oversized
+        or shape-heterogeneous datasets."""
+        cfg = self.cfg
+        if not cfg.device_dataset_mb or self.cycle:
+            return None
+        try:
+            files = Dataset(self.root, "trainA").files()
+            n = min(len(files), int(cfg.train_size))
+            if n < cfg.batch_size:
+                return None
+            probe = _load_triplet(files[0], "trainA",
+                                  cache_bytes=cfg.decode_cache_mb << 20,
+                                  max_hw=self.max_src_hw)
+            est = sum(a.nbytes for a in probe) * n
+            if est > cfg.device_dataset_mb << 20:
+                return None
+            ds = DeviceDataset(self.root, "trainA",
+                               max_hw=self.max_src_hw,
+                               cache_mb=cfg.decode_cache_mb,
+                               train_size=cfg.train_size)
+            print(f" [*] training split resident on device "
+                  f"({ds.nbytes >> 20} MB, {len(ds)} triplets)")
+            return ds
+        except Exception as e:  # heterogeneous shapes, OOM, ...
+            print(f" [!] device dataset cache disabled: "
+                  f"{type(e).__name__}: {e}")
+            return None
+
     # -------------------------------------------------------------- train
     def train(self) -> dict:
         cfg = self.cfg
@@ -149,16 +182,23 @@ class Trainer:
         # host-side step counter (one device read at start, e.g. on resume)
         # -- int(self.state.step) every step would block async dispatch
         global_step = int(np.asarray(jax.device_get(self.state.step)))
+        dev_ds = self._maybe_device_dataset()
         try:
             for epoch in range(cfg.epoch):
                 lr = jnp.float32(lr_schedule(cfg, epoch))
                 g_losses, d_losses = [], []
-                it = train_iterator(self.root, cfg.batch_size, cfg.data_seed,
-                                    use_augmentation=cfg.use_augmentation,
-                                    epoch=epoch, train_size=cfg.train_size,
-                                    prefetch=cfg.prefetch,
-                                    cache_mb=cfg.decode_cache_mb,
-                                    max_src_hw=self.max_src_hw)
+                if dev_ds is not None:
+                    it = device_dataset_iterator(
+                        dev_ds, cfg.batch_size, cfg.data_seed,
+                        use_augmentation=cfg.use_augmentation, epoch=epoch)
+                else:
+                    it = train_iterator(
+                        self.root, cfg.batch_size, cfg.data_seed,
+                        use_augmentation=cfg.use_augmentation,
+                        epoch=epoch, train_size=cfg.train_size,
+                        prefetch=cfg.prefetch,
+                        cache_mb=cfg.decode_cache_mb,
+                        max_src_hw=self.max_src_hw)
                 if self.cycle:
                     it_b = train_iterator(
                         self.root, cfg.batch_size, cfg.data_seed + 7919,

@@ -301,3 +301,21 @@ def test_loader_host_downscale(fixture_ds):
     same, _, _ = loader.load_batch(files[:2], "trainA",
                                    max_hw=(4096, 4096))
     np.testing.assert_array_equal(same, full_img)
+
+
+def test_device_dataset_matches_host_iterator(fixture_ds):
+    """The HBM-resident dataset must yield byte-identical batches in the
+    same per-epoch shuffle order as the host iterator."""
+    ds = loader.DeviceDataset(fixture_ds, "trainA")
+    it_dev = loader.device_dataset_iterator(ds, 2, seed=3,
+                                            use_augmentation=True, epoch=1)
+    it_host = loader.train_iterator(fixture_ds, 2, 3,
+                                    use_augmentation=True, epoch=1,
+                                    prefetch=1)
+    n = 0
+    for a, b in zip(it_dev, it_host):
+        for k in ("img", "seg", "cls"):
+            np.testing.assert_array_equal(np.asarray(a[k]), b[k])
+        np.testing.assert_array_equal(np.asarray(a["aug"]), b["aug"])
+        n += 1
+    assert n >= 1
