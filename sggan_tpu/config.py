@@ -103,6 +103,8 @@ class Config:
     #           image pool on the discriminator's fake batch.
     # "cycle" — two-generator cycle-consistency training (train/cycle.py);
     #           needs trainB/trainB_seg/trainB_seg_class alongside trainA.
+    # "simple" — the reference's dormant sce losses with 1/ratio_gan2seg
+    #           GAN weighting (model.py:135-147), wired for real.
     loss_mode: str = "p2p"
     identity_lambda: float = 5.0       # identity term weight in cycle mode
     # Dense-CRF refinement of eval predictions (the reference builds this
@@ -240,7 +242,7 @@ def build_parser() -> argparse.ArgumentParser:
               "reproduce the reference's concat-to-10-then-reset fake history (model.py:175-179)")
     _add_bool(p, "use_photometric", d.use_photometric,
               "photometric augmentation (the reference's dormant imgaug seq1)")
-    p.add_argument("--loss_mode", default=d.loss_mode, choices=["p2p", "sggan", "cycle"])
+    p.add_argument("--loss_mode", default=d.loss_mode, choices=["p2p", "sggan", "cycle", "simple"])
     p.add_argument("--identity_lambda", type=float, default=d.identity_lambda)
     _add_bool(p, "eval_crf", d.eval_crf,
               "apply dense-CRF refinement to eval predictions")

@@ -198,6 +198,12 @@ def build_step_fn(cfg, axis_name: Optional[str] = None):
                 loss = losses.gen_loss_sggan(
                     da_fake, real_a, fake, seg_a, use_lsgan=cfg.use_lsgan,
                     l1_lambda=cfg.L1_lambda, lg_lambda=cfg.Lg_lambda)
+            elif cfg.loss_mode == "simple":
+                # the reference's dormant sce losses with the
+                # 1/ratio_gan2seg weighting (model.py:135-140)
+                loss = losses.gen_loss_simple(
+                    da_fake, fake, seg_a,
+                    alpha_recip=1.0 / cfg.ratio_gan2seg)
             else:
                 loss = losses.gen_loss_p2p(da_fake, fake, seg_a)
             return loss, (fake, new_gbn, None)
@@ -264,6 +270,8 @@ def build_step_fn(cfg, axis_name: Optional[str] = None):
             if cfg.loss_mode == "sggan":
                 loss = losses.disc_loss_sggan(da_real, da_fake_s,
                                               use_lsgan=cfg.use_lsgan)
+            elif cfg.loss_mode == "simple":
+                loss = losses.disc_loss_simple(da_real, da_fake_s)
             else:
                 loss = losses.disc_loss_p2p(da_real, da_fake_s)
             return loss, dbn2

@@ -137,3 +137,19 @@ def test_pool_disabled():
     batch = make_batch(cfg, jax.random.PRNGKey(1))
     state, m = step(state, batch, jnp.float32(1e-3), jax.random.PRNGKey(2))
     assert np.isfinite(float(m["gen_loss"]))
+
+
+def test_loss_mode_simple_runs_and_learns():
+    """The reference's dormant 'simple' sce losses (model.py:135-147)
+    wired for real: alpha_recip = 1/ratio_gan2seg weights the GAN term."""
+    cfg = tiny_cfg(loss_mode="simple", ratio_gan2seg=10)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, donate=False)
+    batch = make_batch(cfg, jax.random.PRNGKey(1))
+    gl = []
+    for i in range(4):
+        state, m = step(state, batch, jnp.float32(1e-3),
+                        jax.random.PRNGKey(i))
+        assert np.isfinite(float(m["gen_loss"]))
+        gl.append(float(m["gen_loss"]))
+    assert gl[-1] < gl[0]
