@@ -10,7 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from sggan_tpu.models import discriminator, generator_resnet, generator_unet
+from sggan_tpu.models import (discriminator, generator_pix2pix,
+                              generator_resnet, generator_unet)
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 
@@ -26,6 +27,11 @@ def _case(name):
         p = generator_unet.init(key, ngf=4)
         x = jax.random.uniform(kx, (1, 16, 16, 3))
         return generator_unet.apply(p, x, deterministic=True)
+    if name == "pix2pix":
+        p, st = generator_pix2pix.init(key, ngf=4, image_size=32)
+        x = jax.random.uniform(kx, (1, 32, 32, 3))
+        y, _ = generator_pix2pix.apply(p, st, x, ngf=4)
+        return y
     if name == "disc":
         p = discriminator.init(key, ndf=8, n_class=6, image_size=(32, 32),
                                head="patch")
@@ -36,7 +42,7 @@ def _case(name):
     raise KeyError(name)
 
 
-@pytest.mark.parametrize("name", ["resnet", "unet", "disc"])
+@pytest.mark.parametrize("name", ["resnet", "unet", "pix2pix", "disc"])
 def test_golden(name):
     path = os.path.join(GOLDEN, f"{name}.npy")
     got = np.asarray(_case(name), np.float32)
