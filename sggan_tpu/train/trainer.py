@@ -157,6 +157,38 @@ class Trainer:
                   f"{type(e).__name__}: {e}")
             return None
 
+    def _make_fused_step(self, ds):
+        """ONE compiled program per step: device-side batch gather from
+        the HBM-resident split + fused preprocess + train step.  The
+        split gather/preprocess/step dispatches cost ~440 ms/step through
+        this environment's remote relay (PERF.md round 2); fused, each
+        step is a single dispatch.  Numerically identical to the unfused
+        path (same keys, same flag layout)."""
+        cfg = self.cfg
+        from ..data.preprocess import preprocess_train
+        from .step import build_step_fn
+        body = build_step_fn(cfg)
+        b = cfg.batch_size
+
+        def fn(state, img_all, seg_all, cls_all, idxs, k_pre, k_step, lr):
+            take = lambda a: jnp.take(a, idxs, axis=0, mode="clip")
+            img, seg, cls = take(img_all), take(seg_all), take(cls_all)
+            if cfg.use_augmentation:
+                img = jnp.concatenate([img, img])
+                seg = jnp.concatenate([seg, seg])
+                cls = jnp.concatenate([cls, cls])
+                flags = jnp.concatenate([jnp.zeros((b,), bool),
+                                         jnp.ones((b,), bool)])
+            else:
+                flags = jnp.zeros((b,), bool)
+            batch = preprocess_train(
+                img, seg, cls, k_pre, flags, out_hw=cfg.image_size,
+                mask_hw=cfg.mask_hw, n_class=cfg.segment_class,
+                photometric=cfg.use_photometric)
+            return body(state, batch, lr, k_step)
+
+        return jax.jit(fn, donate_argnums=(0,) if cfg.donate else ())
+
     # -------------------------------------------------------------- train
     def train(self) -> dict:
         cfg = self.cfg
@@ -183,11 +215,22 @@ class Trainer:
         # -- int(self.state.step) every step would block async dispatch
         global_step = int(np.asarray(jax.device_get(self.state.step)))
         dev_ds = self._maybe_device_dataset()
+        fused = None
+        if dev_ds is not None and self.mesh is None and not self.cycle:
+            fused = self._make_fused_step(dev_ds)
         try:
             for epoch in range(cfg.epoch):
                 lr = jnp.float32(lr_schedule(cfg, epoch))
                 g_losses, d_losses = [], []
-                if dev_ds is not None:
+                if fused is not None:
+                    order = np.arange(len(dev_ds))
+                    np.random.default_rng(cfg.data_seed + epoch
+                                          ).shuffle(order)
+                    nb = len(dev_ds) // cfg.batch_size
+                    it = (jnp.asarray(
+                        order[b * cfg.batch_size:(b + 1) * cfg.batch_size]
+                        .astype(np.int32)) for b in range(nb))
+                elif dev_ds is not None:
                     it = device_dataset_iterator(
                         dev_ds, cfg.batch_size, cfg.data_seed,
                         use_augmentation=cfg.use_augmentation, epoch=epoch)
@@ -209,7 +252,12 @@ class Trainer:
                     it = zip(it, it_b)
                 for idx, raw in enumerate(it):
                     self.key, k_pre, k_step = jax.random.split(self.key, 3)
-                    if self.cycle:
+                    if fused is not None:
+                        self.state, m = fused(self.state, dev_ds.img,
+                                              dev_ds.seg, dev_ds.cls, raw,
+                                              k_pre, k_step, lr)
+                        batch = None
+                    elif self.cycle:
                         raw_a, raw_b = raw
                         k_a, k_b = jax.random.split(k_pre)
                         batch = self.preprocess(raw_a["img"], raw_a["seg"],
@@ -222,9 +270,10 @@ class Trainer:
                     else:
                         batch = self.preprocess(raw["img"], raw["seg"],
                                                 raw["cls"], k_pre, raw["aug"])
-                    batch = self._shard_batch(batch)
-                    self.state, m = self.step_fn(self.state, batch, lr,
-                                                 k_step)
+                    if fused is None:
+                        batch = self._shard_batch(batch)
+                        self.state, m = self.step_fn(self.state, batch, lr,
+                                                     k_step)
                     g_losses.append(m["gen_loss"])
                     d_losses.append(m["disc_loss"])
                     if idx % cfg.print_freq == 0:

@@ -67,3 +67,17 @@ def test_eval_crf(ds, tmp_path):
     t = Trainer(cfg)
     _, score = t.test_during_train(0)
     assert 0.0 <= score["Overall Acc"] <= 1.0
+
+
+def test_fused_device_step_matches_host_path(ds, tmp_path):
+    """The single-dispatch fused (gather+preprocess+step) path over the
+    HBM-resident split must train identically to the host iterator path
+    (same seed, same keys, same flag layout)."""
+    losses = {}
+    for name, mb in (("fused", 2048), ("host", 0)):
+        cfg = base_cfg(ds, tmp_path / name, loss_mode="sggan",
+                       use_resnet=True, device_dataset_mb=mb)
+        res = Trainer(cfg).train()
+        losses[name] = res["gen_loss"]
+    np.testing.assert_allclose(losses["fused"], losses["host"],
+                               rtol=1e-4)
