@@ -123,6 +123,7 @@ class Config:
     param_dtype: str = "float32"
     mesh_data: int = 1                 # data-parallel axis size
     mesh_space: int = 1                # spatial-sharding axis size (H plane)
+    mesh_space_w: int = 1              # second spatial axis (W plane; 2-D grid)
     donate: bool = True                # donate train-state buffers under jit
     use_pallas: Optional[bool] = None  # None = auto (TPU only)
     prefetch: int = 2                  # host->device pipeline depth
@@ -177,6 +178,21 @@ class Config:
                     f"image_height={self.image_height} must split into "
                     f"mesh_space={self.mesh_space} shards of a multiple "
                     "of 8 rows")
+        if self.mesh_space_w > 1:
+            if self.mesh_space <= 1:
+                raise ValueError(
+                    "mesh_space_w>1 requires mesh_space>1 (the W axis "
+                    "extends the H shard grid)")
+            if self.use_pix2pix:
+                raise ValueError(
+                    "the pix2pix spatial path is H-only; mesh_space_w "
+                    "supports the semantic nets")
+            per_w = self.image_width // self.mesh_space_w
+            if self.image_width % self.mesh_space_w or per_w % 8:
+                raise ValueError(
+                    f"image_width={self.image_width} must split into "
+                    f"mesh_space_w={self.mesh_space_w} shards of a "
+                    "multiple of 8 columns")
         if self.mesh_data > 1:
             eff = self.batch_size * (2 if self.use_augmentation else 1)
             if eff % self.mesh_data:
@@ -250,6 +266,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", default=d.compute_dtype, choices=["bfloat16", "float32"])
     p.add_argument("--mesh_data", type=int, default=d.mesh_data, help="data-parallel mesh axis size")
     p.add_argument("--mesh_space", type=int, default=d.mesh_space, help="spatial mesh axis size")
+    p.add_argument("--mesh_space_w", type=int, default=d.mesh_space_w, help="second spatial mesh axis (W plane; 2-D shard grid)")
     _add_bool(p, "donate", d.donate, "donate train-state buffers under jit")
     p.add_argument("--decode_cache_mb", type=int, default=d.decode_cache_mb,
                    help="decoded-image RAM cache budget (MB), 0 disables")

@@ -8,7 +8,10 @@ a `jax.sharding.Mesh` with two axes:
   over ICI inside the train step (dp.py);
 * ``space`` — spatial sharding of the image H dimension with halo exchange
   for conv boundaries and psum'd instance-norm moments (spatial.py),
-  enabling native-resolution (2048x1024) training the reference cannot do.
+  enabling native-resolution (2048x1024) training the reference cannot do;
+* ``wspace`` — optional second spatial axis sharding the image W dimension
+  (a 2-D H x W shard grid for very wide panoramas); halo columns travel the
+  same way and instance-norm moments psum over both spatial axes.
 
 On multi-host slices call `jax.distributed.initialize()` before building
 the mesh; XLA schedules the collectives over ICI within a slice and DCN
@@ -25,18 +28,26 @@ from jax.sharding import Mesh
 
 DATA_AXIS = "data"
 SPACE_AXIS = "space"
+WSPACE_AXIS = "wspace"
 
 
 def make_mesh(data: Optional[int] = None, space: int = 1,
-              devices=None) -> Mesh:
-    """Build a (data, space) mesh.  data=None uses all remaining devices."""
+              devices=None, wspace: int = 1) -> Mesh:
+    """Build a (data, space[, wspace]) mesh.  data=None uses all remaining
+    devices.  The wspace axis only appears when wspace > 1 so existing
+    2-axis PartitionSpecs keep working unchanged."""
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size
+    sp = space * wspace
     if data is None:
-        if n % space:
-            raise ValueError(f"{n} devices not divisible by space={space}")
-        data = n // space
-    if data * space > n:
-        raise ValueError(f"mesh {data}x{space} > {n} devices")
-    grid = devices[: data * space].reshape(data, space)
+        if n % sp:
+            raise ValueError(
+                f"{n} devices not divisible by space={space}*wspace={wspace}")
+        data = n // sp
+    if data * sp > n:
+        raise ValueError(f"mesh {data}x{space}x{wspace} > {n} devices")
+    if wspace > 1:
+        grid = devices[: data * sp].reshape(data, space, wspace)
+        return Mesh(grid, (DATA_AXIS, SPACE_AXIS, WSPACE_AXIS))
+    grid = devices[: data * sp].reshape(data, space)
     return Mesh(grid, (DATA_AXIS, SPACE_AXIS))

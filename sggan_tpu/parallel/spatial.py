@@ -22,6 +22,15 @@ Mechanics (all inside shard_map over axis ``space``):
 Supported here: the semantic models' ops (3x3/7x7 convs, 3x3 transpose
 convs, reflect pads) and spatially-sharded resnet-generator /
 patch-head-discriminator forwards.
+
+2-D shard grid: every semantic-path op takes an optional ``axis_w`` mesh
+axis that additionally shards the image W dimension (very wide panoramas).
+Halo columns travel by the same ppermute mechanics; corners are handled by
+ordering the exchanges H-then-W — the columns a shard sends already carry
+the halo rows it received from its H neighbours, which is exactly the
+diagonal-shard data the receiving corner needs.  Instance/batch-norm
+moments psum over both spatial axes.  The pix2pix forwards remain H-only
+(their gather-at-depth fallback is 1-D by construction).
 """
 
 from __future__ import annotations
@@ -51,16 +60,23 @@ def _from_below(rows, axis_name):
     return lax.ppermute(rows, axis_name, [(i + 1, i) for i in range(n - 1)])
 
 
-def halo_exchange(x, top: int, bot: int, axis_name: str):
-    """Extend the local H block with `top` rows from the upper neighbour
-    and `bot` rows from the lower one (zeros at the global edges)."""
+def _take(x, start: int, size: int, dim: int):
+    idx = [slice(None)] * x.ndim
+    idx[dim] = slice(start, start + size) if start >= 0 else slice(start, None)
+    return x[tuple(idx)]
+
+
+def halo_exchange(x, top: int, bot: int, axis_name: str, dim: int = 1):
+    """Extend the local block along `dim` (1=H, 2=W) with `top` slices from
+    the previous neighbour and `bot` from the next (zeros at the global
+    edges)."""
     parts = []
     if top:
-        parts.append(_from_above(x[:, -top:], axis_name))
+        parts.append(_from_above(_take(x, -top, top, dim), axis_name))
     parts.append(x)
     if bot:
-        parts.append(_from_below(x[:, :bot], axis_name))
-    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else x
+        parts.append(_from_below(_take(x, 0, bot, dim), axis_name))
+    return jnp.concatenate(parts, axis=dim) if len(parts) > 1 else x
 
 
 def _tf_same_pads(size: int, k: int, s: int):
@@ -71,18 +87,26 @@ def _tf_same_pads(size: int, k: int, s: int):
 
 # ------------------------------------------------------------- sharded ops
 
-def conv2d_sp(params, x, stride: int, axis_name: str, compute_dtype=None):
-    """TF-SAME conv on an H-sharded block.  Requires local H % stride == 0
-    (true when the global H is a multiple of stride * axis size)."""
+def conv2d_sp(params, x, stride: int, axis_name: str, compute_dtype=None,
+              axis_w: Optional[str] = None):
+    """TF-SAME conv on an H-sharded (optionally H x W-sharded) block.
+    Requires local H % stride == 0 (true when the global H is a multiple of
+    stride * axis size); same for W when axis_w is set."""
     cd = compute_dtype or x.dtype
     w = params["w"]
     k = w.shape[0]
     top, bot = _tf_same_pads(x.shape[1] * lax.axis_size(axis_name), k, stride)
     xh = halo_exchange(x.astype(cd), top, bot, axis_name)
-    wlo, whi = _tf_same_pads(x.shape[2], k, stride)
+    if axis_w is None:
+        wpad = _tf_same_pads(x.shape[2], k, stride)
+    else:
+        wlo, whi = _tf_same_pads(x.shape[2] * lax.axis_size(axis_w), k,
+                                 stride)
+        xh = halo_exchange(xh, wlo, whi, axis_w, dim=2)
+        wpad = (0, 0)
     y = lax.conv_general_dilated(
         xh, w.astype(cd), (stride, stride),
-        [(0, 0), (wlo, whi)], dimension_numbers=_DIMS)
+        [(0, 0), wpad], dimension_numbers=_DIMS)
     if "b" in params:
         y = y + params["b"].astype(cd)
     return y
@@ -103,7 +127,7 @@ def conv2d_valid_after_reflect_sp(params, x_padded, axis_name: str,
 
 
 def conv2d_transpose_sp(params, x, stride: int, axis_name: str,
-                        compute_dtype=None):
+                        compute_dtype=None, axis_w: Optional[str] = None):
     """TF Conv2DTranspose (SAME) on an H-sharded block: extend with one
     real row per side, transpose-conv, crop stride rows per halo row.
 
@@ -115,7 +139,8 @@ def conv2d_transpose_sp(params, x, stride: int, axis_name: str,
     depend only on (k, s), not the block size, so the interior alignment
     of the extended block matches the global computation exactly; halo
     zeros at the global edges contribute nothing, which equals TF's
-    discarded out-of-frame scatter."""
+    discarded out-of-frame scatter.  With axis_w the same one-column halo
+    applies along W (H exchanged first, so the columns carry the corners)."""
     cd = compute_dtype or x.dtype
     w = params["w"]
     k = w.shape[0]
@@ -123,23 +148,32 @@ def conv2d_transpose_sp(params, x, stride: int, axis_name: str,
     assert pt <= stride and k - pt - stride <= stride, (
         f"one-row halo insufficient for k={k}, stride={stride}")
     xh = halo_exchange(x.astype(cd), 1, 1, axis_name)
+    if axis_w is not None:
+        xh = halo_exchange(xh, 1, 1, axis_w, dim=2)
     y = lax.conv_transpose(
         xh, w.astype(cd), (stride, stride), "SAME",
         dimension_numbers=_DIMS, transpose_kernel=True)
     y = y[:, stride:-stride]
+    if axis_w is not None:
+        y = y[:, :, stride:-stride]
     if "b" in params:
         y = y + params["b"].astype(cd)
     return y
 
 
 def instance_norm_sp(params, x, axis_name: str, eps: float = 1e-3,
-                     act: Optional[str] = None, alpha: float = 0.3):
-    """Instance norm with spatial moments psum'd over the mesh axis."""
+                     act: Optional[str] = None, alpha: float = 0.3,
+                     axis_w: Optional[str] = None):
+    """Instance norm with spatial moments psum'd over the mesh axis (or
+    both spatial mesh axes on a 2-D shard grid)."""
+    axes = (axis_name,) if axis_w is None else (axis_name, axis_w)
     xf = x.astype(jnp.float32)
     n = x.shape[1] * x.shape[2] * lax.axis_size(axis_name)
-    s1 = lax.psum(jnp.sum(xf, axis=(1, 2), keepdims=True), axis_name)
+    if axis_w is not None:
+        n *= lax.axis_size(axis_w)
+    s1 = lax.psum(jnp.sum(xf, axis=(1, 2), keepdims=True), axes)
     s2 = lax.psum(jnp.sum(jnp.square(xf), axis=(1, 2), keepdims=True),
-                  axis_name)
+                  axes)
     mean = s1 / n
     var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
     y = (xf - mean) * lax.rsqrt(var + eps)
@@ -153,15 +187,19 @@ def instance_norm_sp(params, x, axis_name: str, eps: float = 1e-3,
 
 
 def batch_norm_sp(params, x, axis_name: str, training: bool,
-                  momentum: float = 0.99, eps: float = 1e-3):
+                  momentum: float = 0.99, eps: float = 1e-3,
+                  axis_w: Optional[str] = None):
     """Keras BatchNormalization on an H-sharded block: batch moments are
     (N, H, W) reductions, so the partial sums are psum'd over the space
-    axis (ops/norm.py batch_norm semantics otherwise)."""
+    axis/axes (ops/norm.py batch_norm semantics otherwise)."""
+    axes = (axis_name,) if axis_w is None else (axis_name, axis_w)
     xf = x.astype(jnp.float32)
     if training:
         n = x.shape[0] * x.shape[1] * x.shape[2] * lax.axis_size(axis_name)
-        s1 = lax.psum(jnp.sum(xf, axis=(0, 1, 2)), axis_name)
-        s2 = lax.psum(jnp.sum(jnp.square(xf), axis=(0, 1, 2)), axis_name)
+        if axis_w is not None:
+            n *= lax.axis_size(axis_w)
+        s1 = lax.psum(jnp.sum(xf, axis=(0, 1, 2)), axes)
+        s2 = lax.psum(jnp.sum(jnp.square(xf), axis=(0, 1, 2)), axes)
         mean = s1 / n
         var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
         new = dict(params)
@@ -194,31 +232,49 @@ def scatter_h(x, axis_name: str):
                                     local, 1)
 
 
-def reflect_pad_sp(x, p: int, axis_name: str):
-    """REFLECT pad on an H-sharded block: neighbour rows at interior
-    boundaries, local reflection at the global edges; W reflects locally."""
+def _reflect_extend(x, p: int, axis_name: str, dim: int):
+    """Extend `dim` by p on each side: neighbour slices at interior shard
+    boundaries, local reflection at the global edges."""
     idx = lax.axis_index(axis_name)
     n = lax.axis_size(axis_name)
-    recv_top = _from_above(x[:, -p:], axis_name)
-    recv_bot = _from_below(x[:, :p], axis_name)
-    refl_top = x[:, 1:p + 1][:, ::-1]
-    refl_bot = x[:, -p - 1:-1][:, ::-1]
-    top = jnp.where(idx == 0, refl_top, recv_top)
-    bot = jnp.where(idx == n - 1, refl_bot, recv_bot)
-    y = jnp.concatenate([top, x, bot], axis=1)
+    rev = [slice(None)] * x.ndim
+    rev[dim] = slice(None, None, -1)
+    rev = tuple(rev)
+    recv_lo = _from_above(_take(x, -p, p, dim), axis_name)
+    recv_hi = _from_below(_take(x, 0, p, dim), axis_name)
+    refl_lo = _take(x, 1, p, dim)[rev]
+    refl_hi = _take(x, x.shape[dim] - p - 1, p, dim)[rev]
+    lo = jnp.where(idx == 0, refl_lo, recv_lo)
+    hi = jnp.where(idx == n - 1, refl_hi, recv_hi)
+    return jnp.concatenate([lo, x, hi], axis=dim)
+
+
+def reflect_pad_sp(x, p: int, axis_name: str, axis_w: Optional[str] = None):
+    """REFLECT pad on an H-sharded (optionally H x W-sharded) block:
+    neighbour rows/columns at interior boundaries, local reflection at the
+    global edges; an unsharded W reflects locally.  H extends first so the
+    exchanged columns carry correct corner values."""
+    y = _reflect_extend(x, p, axis_name, dim=1)
+    if axis_w is not None:
+        return _reflect_extend(y, p, axis_w, dim=2)
     return jnp.pad(y, [(0, 0), (0, 0), (p, p), (0, 0)], mode="reflect")
 
 
-def depthwise_conv2d_sp(x, w_tf, axis_name: str, padding: str = "SAME"):
-    """tf.nn.depthwise_conv2d on an H-sharded block (k=3).  SAME exchanges
-    one halo row per side; VALID expects the rows already provided
-    (reflect_pad_sp)."""
+def depthwise_conv2d_sp(x, w_tf, axis_name: str, padding: str = "SAME",
+                        axis_w: Optional[str] = None):
+    """tf.nn.depthwise_conv2d on an H-sharded (optionally H x W-sharded)
+    block (k=3).  SAME exchanges one halo row/column per side; VALID
+    expects the rows already provided (reflect_pad_sp)."""
     kh, kw, c, mult = w_tf.shape
     w = w_tf.reshape(kh, kw, 1, c * mult)
     xf = x.astype(jnp.float32)
     if padding == "SAME":
         xf = halo_exchange(xf, (kh - 1) // 2, kh // 2, axis_name)
-        wpad = _tf_same_pads(x.shape[2], kw, 1)
+        if axis_w is not None:
+            xf = halo_exchange(xf, (kw - 1) // 2, kw // 2, axis_w, dim=2)
+            wpad = (0, 0)
+        else:
+            wpad = _tf_same_pads(x.shape[2], kw, 1)
     else:
         wpad = (0, 0)
     return lax.conv_general_dilated(
@@ -226,110 +282,130 @@ def depthwise_conv2d_sp(x, w_tf, axis_name: str, padding: str = "SAME"):
         dimension_numbers=_DIMS, feature_group_count=c)
 
 
-def tf_deriv_sp(x, axis_name: str):
+def tf_deriv_sp(x, axis_name: str, axis_w: Optional[str] = None):
     """Sobel derivative stack on an H-sharded block (ops.deriv.tf_deriv)."""
     from ..ops.deriv import deriv_kernel_sobel
-    return depthwise_conv2d_sp(x, deriv_kernel_sobel(x.shape[-1]), axis_name)
+    return depthwise_conv2d_sp(x, deriv_kernel_sobel(x.shape[-1]), axis_name,
+                               axis_w=axis_w)
 
 
-def seg_boundary_weight_sp(seg, axis_name: str):
+def seg_boundary_weight_sp(seg, axis_name: str,
+                           axis_w: Optional[str] = None):
     """Class-boundary weight map on an H-sharded seg block
     (ops.deriv.seg_boundary_weight)."""
     from ..ops.deriv import deriv_kernel_diff
-    segp = reflect_pad_sp(seg.astype(jnp.float32), 1, axis_name)
+    segp = reflect_pad_sp(seg.astype(jnp.float32), 1, axis_name,
+                          axis_w=axis_w)
     conved = jnp.abs(depthwise_conv2d_sp(
         segp, deriv_kernel_diff(seg.shape[-1]), axis_name, padding="VALID"))
     return jnp.abs(jnp.sign(jnp.sum(conved, axis=-1, keepdims=True)))
 
 
-def gradloss_criterion_sp(in_, target, weight, axis_name: str):
+def gradloss_criterion_sp(in_, target, weight, axis_name: str,
+                          axis_w: Optional[str] = None):
     """losses.gradloss_criterion with spatially-sharded derivatives; the
-    mean is local — aggregate grads/losses with pmean over the axis."""
-    d = jnp.abs(jnp.abs(tf_deriv_sp(in_, axis_name))
-                - jnp.abs(tf_deriv_sp(target, axis_name)))
+    mean is local — aggregate grads/losses with pmean over the axes."""
+    d = jnp.abs(jnp.abs(tf_deriv_sp(in_, axis_name, axis_w))
+                - jnp.abs(tf_deriv_sp(target, axis_name, axis_w)))
     d = jnp.mean(d, axis=-1, keepdims=True)
     return jnp.mean(weight * d)
 
 
 # --------------------------------------------- spatially-sharded forwards
 
-def generator_resnet_sp(params, x, axis_name: str, compute_dtype=None):
-    """generator_resnet.apply on an H-sharded input block (same param tree,
-    same numerics as the single-device forward)."""
+def generator_resnet_sp(params, x, axis_name: str, compute_dtype=None,
+                        axis_w: Optional[str] = None):
+    """generator_resnet.apply on an H-sharded (optionally H x W-sharded)
+    input block (same param tree, same numerics as the single-device
+    forward)."""
     from ..models.generator_resnet import N_BLOCKS
     cd = compute_dtype or x.dtype
+    aw = axis_w
     y = x.astype(cd)
-    y = reflect_pad_sp(y, 3, axis_name)
+    y = reflect_pad_sp(y, 3, axis_name, axis_w=aw)
     y = conv2d_valid_after_reflect_sp(params["c1"], y, axis_name, cd)
-    y = instance_norm_sp(params["c1_in"], y, axis_name, act="relu")
-    y = conv2d_sp(params["c2"], y, 2, axis_name, cd)
-    y = instance_norm_sp(params["c2_in"], y, axis_name, act="relu")
-    y = conv2d_sp(params["c3"], y, 2, axis_name, cd)
-    y = instance_norm_sp(params["c3_in"], y, axis_name, act="relu")
+    y = instance_norm_sp(params["c1_in"], y, axis_name, act="relu", axis_w=aw)
+    y = conv2d_sp(params["c2"], y, 2, axis_name, cd, axis_w=aw)
+    y = instance_norm_sp(params["c2_in"], y, axis_name, act="relu", axis_w=aw)
+    y = conv2d_sp(params["c3"], y, 2, axis_name, cd, axis_w=aw)
+    y = instance_norm_sp(params["c3_in"], y, axis_name, act="relu", axis_w=aw)
     for i in range(N_BLOCKS):
         b = params[f"r{i + 1}"]
-        z = reflect_pad_sp(y, 1, axis_name)
+        z = reflect_pad_sp(y, 1, axis_name, axis_w=aw)
         z = conv2d_valid_after_reflect_sp(b["conv1"], z, axis_name, cd)
-        z = instance_norm_sp(b["in1"], z, axis_name, act="relu")
-        z = reflect_pad_sp(z, 1, axis_name)
+        z = instance_norm_sp(b["in1"], z, axis_name, act="relu", axis_w=aw)
+        z = reflect_pad_sp(z, 1, axis_name, axis_w=aw)
         z = conv2d_valid_after_reflect_sp(b["conv2"], z, axis_name, cd)
-        z = instance_norm_sp(b["in2"], z, axis_name)
+        z = instance_norm_sp(b["in2"], z, axis_name, axis_w=aw)
         y = z + y
-    y = conv2d_transpose_sp(params["d1"], y, 2, axis_name, cd)
-    y = instance_norm_sp(params["d1_in"], y, axis_name, act="relu")
-    y = conv2d_transpose_sp(params["d2"], y, 2, axis_name, cd)
-    y = instance_norm_sp(params["d2_in"], y, axis_name, act="relu")
-    y = reflect_pad_sp(y, 3, axis_name)
+    y = conv2d_transpose_sp(params["d1"], y, 2, axis_name, cd, axis_w=aw)
+    y = instance_norm_sp(params["d1_in"], y, axis_name, act="relu", axis_w=aw)
+    y = conv2d_transpose_sp(params["d2"], y, 2, axis_name, cd, axis_w=aw)
+    y = instance_norm_sp(params["d2_in"], y, axis_name, act="relu", axis_w=aw)
+    y = reflect_pad_sp(y, 3, axis_name, axis_w=aw)
     y = conv2d_valid_after_reflect_sp(params["out"], y, axis_name, cd)
     return tanh(y.astype(jnp.float32))
 
 
 def generator_unet_sp(params, x, axis_name: str, compute_dtype=None,
-                      rng=None, deterministic: bool = True):
-    """generator_unet.apply on an H-sharded block — every conv is 3x3
-    stride-1 SAME so halos are one row each way.  Dropout (d1-d3, between
-    conv-transpose and IN, module.py:170-181) uses a per-shard key
-    (fold_in of the axis index): masks are iid per pixel, so per-shard
-    keys sample the same distribution the single-device forward does."""
+                      rng=None, deterministic: bool = True,
+                      axis_w: Optional[str] = None):
+    """generator_unet.apply on an H-sharded (optionally H x W-sharded)
+    block — every conv is 3x3 stride-1 SAME so halos are one row each way.
+    Dropout (d1-d3, between conv-transpose and IN, module.py:170-181) uses
+    a per-shard key (fold_in of the axis index/indices): masks are iid per
+    pixel, so per-shard keys sample the same distribution the
+    single-device forward does."""
     from ..ops.layers import dropout
     cd = compute_dtype or x.dtype
+    aw = axis_w
     y = x.astype(cd)
     enc = []
     for i in range(1, 9):
-        y = conv2d_sp(params[f"e{i}"], y, 1, axis_name, cd)
+        y = conv2d_sp(params[f"e{i}"], y, 1, axis_name, cd, axis_w=aw)
         act = "relu" if i == 8 else "leaky_relu"
-        y = instance_norm_sp(params[f"e{i}_in"], y, axis_name, act=act)
+        y = instance_norm_sp(params[f"e{i}_in"], y, axis_name, act=act,
+                             axis_w=aw)
         enc.append(y)
     use_drop = rng is not None and not deterministic
     if use_drop:
         rng = jax.random.fold_in(rng, lax.axis_index(axis_name))
+        if aw is not None:
+            rng = jax.random.fold_in(rng, lax.axis_index(aw))
         drop_keys = jax.random.split(rng, 3)
     for i in range(1, 8):
-        y = conv2d_transpose_sp(params[f"d{i}"], y, 1, axis_name, cd)
+        y = conv2d_transpose_sp(params[f"d{i}"], y, 1, axis_name, cd,
+                                axis_w=aw)
         if i <= 3 and use_drop:
             y = dropout(drop_keys[i - 1], y, 0.5, deterministic=False)
-        y = instance_norm_sp(params[f"d{i}_in"], y, axis_name)
+        y = instance_norm_sp(params[f"d{i}_in"], y, axis_name, axis_w=aw)
         y = y + enc[7 - i]
         if i in (3, 7):
             y = jnp.maximum(y, 0)
-    y = conv2d_transpose_sp(params["d8"], y, 1, axis_name, cd)
+    y = conv2d_transpose_sp(params["d8"], y, 1, axis_name, cd, axis_w=aw)
     return tanh(y.astype(jnp.float32))
 
 
-def discriminator_sp(params, x, mask, axis_name: str, compute_dtype=None):
+def discriminator_sp(params, x, mask, axis_name: str, compute_dtype=None,
+                     axis_w: Optional[str] = None):
     """Semantic discriminator with the paper-style stride-8 patch head
     (the reference's global VALID chain does not split spatially; init the
     params with head='patch')."""
     cd = compute_dtype or x.dtype
+    aw = axis_w
     y = x.astype(cd)
-    y = leaky_relu(conv2d_sp(params["h0"], y, 2, axis_name, cd))
-    y = conv2d_sp(params["h1"], y, 2, axis_name, cd)
-    y = instance_norm_sp(params["h1_in"], y, axis_name, act="leaky_relu")
-    y = conv2d_sp(params["h2"], y, 2, axis_name, cd)
-    y = instance_norm_sp(params["h2_in"], y, axis_name, act="leaky_relu")
-    y = conv2d_sp(params["h3"], y, 1, axis_name, cd)
-    y = instance_norm_sp(params["h3_in"], y, axis_name, act="leaky_relu")
-    y = conv2d_sp(params["h4"], y, 1, axis_name, cd).astype(jnp.float32)
+    y = leaky_relu(conv2d_sp(params["h0"], y, 2, axis_name, cd, axis_w=aw))
+    y = conv2d_sp(params["h1"], y, 2, axis_name, cd, axis_w=aw)
+    y = instance_norm_sp(params["h1_in"], y, axis_name, act="leaky_relu",
+                         axis_w=aw)
+    y = conv2d_sp(params["h2"], y, 2, axis_name, cd, axis_w=aw)
+    y = instance_norm_sp(params["h2_in"], y, axis_name, act="leaky_relu",
+                         axis_w=aw)
+    y = conv2d_sp(params["h3"], y, 1, axis_name, cd, axis_w=aw)
+    y = instance_norm_sp(params["h3_in"], y, axis_name, act="leaky_relu",
+                         axis_w=aw)
+    y = conv2d_sp(params["h4"], y, 1, axis_name, cd,
+                  axis_w=aw).astype(jnp.float32)
     return jnp.sum(y * mask.astype(jnp.float32), axis=-1, keepdims=True)
 
 

@@ -1,7 +1,9 @@
-"""Fully sharded (data x space) SG-GAN train step.
+"""Fully sharded (data x space[ x wspace]) SG-GAN train step.
 
 The batch axis is sharded over mesh axis ``data`` AND the image H axis over
-mesh axis ``space`` — 2-D SPMD for native-resolution training.  Built on
+mesh axis ``space`` — 2-D SPMD for native-resolution training.  A mesh with
+a ``wspace`` axis additionally shards the image W plane (2-D H x W shard
+grid for very wide panoramas; semantic nets only).  Built on
 the spatially-sharded resnet generator and patch-head semantic
 discriminator (spatial.py); instance-norm moments psum over ``space``,
 halo rows travel by ppermute, and gradients/losses pmean over both axes
@@ -36,7 +38,7 @@ from .. import losses
 from ..models import discriminator
 from ..train.pool import PoolState, pool_init, pool_update
 from ..train.step import TrainState, _dtype, _tx
-from .mesh import DATA_AXIS, SPACE_AXIS
+from .mesh import DATA_AXIS, SPACE_AXIS, WSPACE_AXIS
 from . import spatial
 
 
@@ -76,17 +78,21 @@ def init_sp_state(cfg, key, n_data: int = 1) -> TrainState:
 
 
 def build_sp_step_fn(cfg, data_axis: str = DATA_AXIS,
-                     space_axis: str = SPACE_AXIS):
+                     space_axis: str = SPACE_AXIS,
+                     wspace_axis: Optional[str] = None):
     if cfg.use_pix2pix:
         assert cfg.loss_mode == "p2p", \
             "pix2pix spatial step runs the p2p objective"
+        assert wspace_axis is None, \
+            "the pix2pix spatial path is H-only (gather-at-depth is 1-D)"
         return _build_sp_step_p2p_pix2pix(cfg, data_axis, space_axis)
     assert cfg.loss_mode == "sggan", \
         "semantic spatial step runs the sggan objective"
     cd = _dtype(cfg)
     tx = _tx(cfg.beta1)
     crit = losses.criterion_gan(cfg.use_lsgan)
-    axes = (data_axis, space_axis)
+    aw = wspace_axis
+    axes = (data_axis, space_axis) + ((aw,) if aw else ())
     deterministic = cfg.dropout_mode == "keras_quirk"
 
     def step_fn(state: TrainState, batch, lr, rng):
@@ -96,24 +102,27 @@ def build_sp_step_fn(cfg, data_axis: str = DATA_AXIS,
         real_a = batch["real_a"].astype(jnp.float32)
         seg_a = batch["seg_a"].astype(jnp.float32)
         mask_a = batch["mask_a"]
-        w_a = spatial.seg_boundary_weight_sp(seg_a, space_axis)
+        w_a = spatial.seg_boundary_weight_sp(seg_a, space_axis, axis_w=aw)
 
         def gen_fwd_sp(gp, x):
             if cfg.use_resnet:
-                return spatial.generator_resnet_sp(gp, x, space_axis, cd)
+                return spatial.generator_resnet_sp(gp, x, space_axis, cd,
+                                                   axis_w=aw)
             return spatial.generator_unet_sp(gp, x, space_axis, cd,
                                              rng=rng_g,
-                                             deterministic=deterministic)
+                                             deterministic=deterministic,
+                                             axis_w=aw)
 
         def gen_loss_fn(gp):
             fake = gen_fwd_sp(gp, real_a)
             da_fake = spatial.discriminator_sp(state.disc_params, fake,
-                                               mask_a, space_axis, cd)
+                                               mask_a, space_axis, cd,
+                                               axis_w=aw)
             g = crit(da_fake, jnp.ones_like(da_fake))
             g = g + cfg.L1_lambda * losses.abs_criterion(real_a, fake)
             if cfg.Lg_lambda:
                 g = g + cfg.Lg_lambda * spatial.gradloss_criterion_sp(
-                    fake, real_a, w_a, space_axis)
+                    fake, real_a, w_a, space_axis, axis_w=aw)
             return g, fake
 
         (g_loss, fake), g_grads = jax.value_and_grad(
@@ -129,9 +138,9 @@ def build_sp_step_fn(cfg, data_axis: str = DATA_AXIS,
 
         def disc_loss_fn(dpm):
             da_real = spatial.discriminator_sp(dpm, seg_a, mask_a,
-                                               space_axis, cd)
+                                               space_axis, cd, axis_w=aw)
             da_fake_s = spatial.discriminator_sp(dpm, fake_for_d, mask_for_d,
-                                                 space_axis, cd)
+                                                 space_axis, cd, axis_w=aw)
             return losses.disc_loss_sggan(da_real, da_fake_s,
                                           use_lsgan=cfg.use_lsgan)
 
@@ -218,24 +227,41 @@ def _build_sp_step_p2p_pix2pix(cfg, data_axis: str, space_axis: str):
     return step_fn
 
 
-def _sp_state_spec() -> TrainState:
+def _has_wspace(mesh: Mesh) -> bool:
+    return WSPACE_AXIS in mesh.axis_names
+
+
+def _batch_spec(mesh: Mesh) -> P:
+    # (B, H, W, C): B over data, H over space, W over wspace (if present)
+    if _has_wspace(mesh):
+        return P(DATA_AXIS, SPACE_AXIS, WSPACE_AXIS)
+    return P(DATA_AXIS, SPACE_AXIS)
+
+
+def _sp_state_spec(mesh: Mesh) -> TrainState:
+    # pool buffer: (slot, H, W, C) — slots over data, plane over space axes
+    if _has_wspace(mesh):
+        buf = P(DATA_AXIS, SPACE_AXIS, WSPACE_AXIS)
+    else:
+        buf = P(DATA_AXIS, SPACE_AXIS)
     return TrainState(
         gen_params=P(), gen_bn=P(), disc_params=P(), disc_bn=P(),
         g_opt=P(), d_opt=P(),
-        pool=PoolState(buffer=P(DATA_AXIS, SPACE_AXIS), count=P()),
+        pool=PoolState(buffer=buf, count=P()),
         step=P(),
     )
 
 
-BATCH_SPEC = P(DATA_AXIS, SPACE_AXIS)  # (B, H, W, C): B over data, H over space
+BATCH_SPEC = P(DATA_AXIS, SPACE_AXIS)  # 1-D grid spec (kept for callers)
 
 
 def make_sp_train_step(cfg, mesh: Mesh, donate: Optional[bool] = None):
-    fn = build_sp_step_fn(cfg)
-    spec = _sp_state_spec()
+    fn = build_sp_step_fn(
+        cfg, wspace_axis=WSPACE_AXIS if _has_wspace(mesh) else None)
+    spec = _sp_state_spec(mesh)
     mapped = jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(spec, BATCH_SPEC, P(), P()),
+        in_specs=(spec, _batch_spec(mesh), P(), P()),
         out_specs=(spec, P()),
         check_vma=False,
     )
@@ -248,10 +274,10 @@ def place_sp(state: TrainState, mesh: Mesh) -> TrainState:
     placed = jax.device_put(state, rep)
     buf = jax.device_put(
         state.pool.buffer,
-        NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS)))
+        NamedSharding(mesh, _sp_state_spec(mesh).pool.buffer))
     return placed._replace(pool=placed.pool._replace(buffer=buf))
 
 
 def shard_sp_batch(batch: dict, mesh: Mesh) -> dict:
-    sh = NamedSharding(mesh, BATCH_SPEC)
+    sh = NamedSharding(mesh, _batch_spec(mesh))
     return {k: jax.device_put(v, sh) for k, v in batch.items()}

@@ -49,9 +49,11 @@ class Trainer:
         self._shard_batch = lambda b: b
         n_data = max(cfg.mesh_data, 1)
         n_space = max(cfg.mesh_space, 1)
+        n_wspace = max(cfg.mesh_space_w, 1)
         if n_space > 1:
-            # 2-D (data x space) sharding: batch over `data`, image H over
-            # `space` with halo exchange (parallel/spatial_step.py).
+            # (data x space[ x wspace]) sharding: batch over `data`, image
+            # H over `space` (and W over `wspace` for a 2-D shard grid)
+            # with halo exchange (parallel/spatial_step.py).
             from ..parallel import make_mesh
             from ..parallel.spatial_step import (init_sp_state,
                                                  make_sp_train_step,
@@ -63,7 +65,8 @@ class Trainer:
                     "mesh_space>1 supports --loss_mode sggan with the "
                     "resnet/unet nets, or --loss_mode p2p with "
                     "--use_pix2pix")
-            self.mesh = make_mesh(data=n_data, space=n_space)
+            self.mesh = make_mesh(data=n_data, space=n_space,
+                                  wspace=n_wspace)
             self.state = place_sp(
                 init_sp_state(cfg, self.key, n_data=n_data), self.mesh)
             self.step_fn = make_sp_train_step(cfg, self.mesh)
