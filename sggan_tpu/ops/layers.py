@@ -25,6 +25,7 @@ HBM traffic low.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Sequence, Tuple, Union
 
@@ -167,11 +168,60 @@ def dropout(key, x, rate: float, deterministic: bool):
     return jnp.where(mask, x / keep, 0).astype(x.dtype)
 
 
+def _unpad_reflect_transpose(dy, lo: int, hi: int, axis: int):
+    """Adjoint of a single-axis REFLECT pad: slice the core and add the
+    border cotangents back onto their mirror sources (tiny strips), instead
+    of the gather/scatter chain jnp.pad's autodiff emits (3 full-tensor HBM
+    passes per pad at (16,256,512,64) — see PERF.md round 2 trace)."""
+    n = dy.shape[axis] - lo - hi
+    core = jax.lax.slice_in_dim(dy, lo, lo + n, axis=axis)
+
+    def add_at(buf, strip, start):
+        idx = [slice(None)] * buf.ndim
+        idx[axis] = slice(start, start + strip.shape[axis])
+        return buf.at[tuple(idx)].add(strip)
+
+    if lo:
+        top = jnp.flip(jax.lax.slice_in_dim(dy, 0, lo, axis=axis), axis)
+        core = add_at(core, top, 1)
+    if hi:
+        bot = jnp.flip(jax.lax.slice_in_dim(dy, lo + n, lo + n + hi,
+                                            axis=axis), axis)
+        core = add_at(core, bot, n - hi - 1)
+    return core
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _reflect_pad_cv(x, cfg: Tuple[Tuple[int, int], ...]):
+    return jnp.pad(x, list(cfg), mode="reflect")
+
+
+def _reflect_pad_fwd(x, cfg):
+    return _reflect_pad_cv(x, cfg), None
+
+
+def _reflect_pad_bwd(cfg, _, dy):
+    dx = dy
+    # transpose of the axis-sequential forward composition, reverse order
+    for axis in reversed(range(dy.ndim)):
+        lo, hi = cfg[axis]
+        if lo or hi:
+            dx = _unpad_reflect_transpose(dx, lo, hi, axis)
+    return (dx,)
+
+
+_reflect_pad_cv.defvjp(_reflect_pad_fwd, _reflect_pad_bwd)
+
+
 def reflect_pad(x, pad: Union[int, Sequence[Tuple[int, int]]]):
     """tf.pad(..., "REFLECT") on the spatial axes of NHWC
-    (reference module.py:210,230,262; model.py:115)."""
+    (reference module.py:210,230,262; model.py:115).
+
+    Carries a custom VJP: the backward is one core slice plus strip adds
+    (mathematically the exact adjoint; fp-identical sums in a different
+    association order)."""
     if isinstance(pad, int):
-        cfg = [(0, 0), (pad, pad), (pad, pad), (0, 0)]
+        cfg = ((0, 0), (pad, pad), (pad, pad), (0, 0))
     else:
-        cfg = list(pad)
-    return jnp.pad(x, cfg, mode="reflect")
+        cfg = tuple((int(a), int(b)) for a, b in pad)
+    return _reflect_pad_cv(x, cfg)

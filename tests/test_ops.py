@@ -87,6 +87,24 @@ def test_reflect_pad():
                                np.asarray(x[0, 1, :, 0]))
 
 
+def test_reflect_pad_custom_vjp_matches_autodiff():
+    """The strip-add backward must equal jnp.pad's autodiff adjoint
+    exactly (same sums, different association order)."""
+    for pad in (1, 3):
+        x = jax.random.normal(jax.random.PRNGKey(7 + pad), (2, 9, 11, 3))
+        w = jax.random.normal(jax.random.PRNGKey(17 + pad),
+                              (2, 9 + 2 * pad, 11 + 2 * pad, 3))
+        cfg = [(0, 0), (pad, pad), (pad, pad), (0, 0)]
+        ref_fn = lambda v: jnp.sum(w * jnp.pad(v, cfg, mode="reflect"))
+        got_fn = lambda v: jnp.sum(w * ops.reflect_pad(v, pad))
+        np.testing.assert_allclose(float(got_fn(x)), float(ref_fn(x)),
+                                   rtol=1e-6)
+        g_ref = jax.grad(ref_fn)(x)
+        g_got = jax.grad(got_fn)(x)
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_depthwise_deriv():
     """Central-difference depthwise conv against a manual stencil."""
     x = jax.random.normal(jax.random.PRNGKey(6), (1, 8, 8, 2))
