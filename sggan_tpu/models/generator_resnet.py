@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops import (conv2d, conv2d_init, conv2d_transpose,
+from ..ops import (conv2d, conv2d_init, conv2d_reflect, conv2d_transpose,
                    conv2d_transpose_init, instance_norm, instance_norm_init,
                    reflect_pad, tanh)
 
@@ -46,11 +46,11 @@ def init(key, ngf: int = 64, input_nc: int = 3, output_nc: int = 3,
 
 
 def _res_block(b, x, cd, use_pallas):
-    y = reflect_pad(x, 1)
-    y = conv2d(b["conv1"], y, 1, "VALID", cd)
+    # conv2d_reflect == reflect_pad(1) + VALID conv without materializing
+    # the padded activation (ops/layers.py)
+    y = conv2d_reflect(b["conv1"], x, cd)
     y = instance_norm(b["in1"], y, act="relu", use_pallas=use_pallas)
-    y = reflect_pad(y, 1)
-    y = conv2d(b["conv2"], y, 1, "VALID", cd)
+    y = conv2d_reflect(b["conv2"], y, cd)
     y = instance_norm(b["in2"], y, use_pallas=use_pallas)
     return y + x
 
@@ -59,8 +59,7 @@ def apply(params, x, compute_dtype=None, use_pallas=None, rng=None,
           deterministic=True):
     """x: (N, H, W, C) with H, W divisible by 4. Returns float32 tanh image."""
     cd = compute_dtype or x.dtype
-    y = reflect_pad(x.astype(cd), 3)
-    y = conv2d(params["c1"], y, 1, "VALID", cd)
+    y = conv2d_reflect(params["c1"], x.astype(cd), cd)
     y = instance_norm(params["c1_in"], y, act="relu", use_pallas=use_pallas)
     y = conv2d(params["c2"], y, 2, "SAME", cd)
     y = instance_norm(params["c2_in"], y, act="relu", use_pallas=use_pallas)

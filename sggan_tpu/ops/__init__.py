@@ -1,5 +1,5 @@
 from .layers import (
-    conv2d, conv2d_init, conv2d_transpose, conv2d_transpose_init,
+    conv2d, conv2d_init, conv2d_reflect, conv2d_transpose, conv2d_transpose_init,
     dense, dense_init, leaky_relu, relu, tanh, dropout, reflect_pad,
     glorot_uniform, normal_init,
 )
@@ -10,7 +10,7 @@ from .deriv import (
 )
 
 __all__ = [
-    "conv2d", "conv2d_init", "conv2d_transpose", "conv2d_transpose_init",
+    "conv2d", "conv2d_init", "conv2d_reflect", "conv2d_transpose", "conv2d_transpose_init",
     "dense", "dense_init", "leaky_relu", "relu", "tanh", "dropout",
     "reflect_pad", "glorot_uniform", "normal_init",
     "instance_norm", "instance_norm_init", "batch_norm", "batch_norm_init",

@@ -225,3 +225,39 @@ def reflect_pad(x, pad: Union[int, Sequence[Tuple[int, int]]]):
     else:
         cfg = tuple((int(a), int(b)) for a, b in pad)
     return _reflect_pad_cv(x, cfg)
+
+
+def conv2d_reflect(params, x, compute_dtype=None):
+    """``conv2d(params, reflect_pad(x, k//2), 1, "VALID")`` — the
+    reference's reflect-padded conv pattern (module.py:210-213, 229-231) —
+    computed WITHOUT materializing the padded activation: a zero-pad SAME
+    conv (padding folded into the conv's input read) plus exact
+    border-strip recomputes written in place.  Interior outputs are the
+    same dot products either way; only the p-pixel frame is recomputed
+    with the proper reflect sources (PERF.md round 2: the pad construction
+    cost a full HBM pass per call)."""
+    cd = compute_dtype or x.dtype
+    k = params["w"].shape[0]
+    p = k // 2
+    y = conv2d(params, x, 1, "SAME", cd)
+    if p == 0:
+        return y
+    xcd = x.astype(cd)
+    h = x.shape[1]
+    flip_h = lambda t: t[:, ::-1]
+    flip_w = lambda t: t[:, :, ::-1]
+    wpad = lambda t: jnp.concatenate(
+        [flip_w(t[:, :, 1:p + 1]), t, flip_w(t[:, :, -p - 1:-1])], axis=2)
+    top_in = jnp.concatenate([flip_h(xcd[:, 1:p + 1]), xcd[:, :2 * p]],
+                             axis=1)
+    bot_in = jnp.concatenate([xcd[:, -2 * p:], flip_h(xcd[:, -p - 1:-1])],
+                             axis=1)
+    left_in = jnp.concatenate([flip_w(xcd[:, :, 1:p + 1]), xcd[:, :, :2 * p]],
+                              axis=2)
+    right_in = jnp.concatenate([xcd[:, :, -2 * p:],
+                                flip_w(xcd[:, :, -p - 1:-1])], axis=2)
+    y = y.at[:, :p].set(conv2d(params, wpad(top_in), 1, "VALID", cd))
+    y = y.at[:, -p:].set(conv2d(params, wpad(bot_in), 1, "VALID", cd))
+    y = y.at[:, p:h - p, :p].set(conv2d(params, left_in, 1, "VALID", cd))
+    y = y.at[:, p:h - p, -p:].set(conv2d(params, right_in, 1, "VALID", cd))
+    return y

@@ -105,6 +105,34 @@ def test_reflect_pad_custom_vjp_matches_autodiff():
                                    rtol=1e-6, atol=1e-6)
 
 
+def test_conv2d_reflect_matches_pad_then_valid():
+    """SAME conv + border fix-up == reflect_pad + VALID conv, forward and
+    gradients, k=3 and k=7."""
+    for k in (3, 7):
+        key = jax.random.PRNGKey(k)
+        p = ops.conv2d_init(key, k, k, 3, 5)
+        x = jax.random.normal(jax.random.fold_in(key, 1), (2, 12, 18, 3))
+        ref = ops.conv2d(p, ops.reflect_pad(x, k // 2), 1, "VALID")
+        got = ops.conv2d_reflect(p, x)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+        tgt = jax.random.normal(jax.random.fold_in(key, 2), ref.shape)
+        ref_g = jax.grad(lambda v: jnp.sum(tgt * ops.conv2d(
+            p, ops.reflect_pad(v, k // 2), 1, "VALID")))(x)
+        got_g = jax.grad(lambda v: jnp.sum(
+            tgt * ops.conv2d_reflect(p, v)))(x)
+        np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
+                                   rtol=1e-4, atol=1e-5)
+        ref_gw = jax.grad(lambda w: jnp.sum(tgt * ops.conv2d(
+            {"w": w, "b": p["b"]}, ops.reflect_pad(x, k // 2), 1,
+            "VALID")))(p["w"])
+        got_gw = jax.grad(lambda w: jnp.sum(tgt * ops.conv2d_reflect(
+            {"w": w, "b": p["b"]}, x)))(p["w"])
+        np.testing.assert_allclose(np.asarray(got_gw), np.asarray(ref_gw),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_depthwise_deriv():
     """Central-difference depthwise conv against a manual stencil."""
     x = jax.random.normal(jax.random.PRNGKey(6), (1, 8, 8, 2))
