@@ -60,6 +60,8 @@ def bench():
               file=sys.stderr)
 
     best = 0.0
+    best_b = None
+    best_setup = None
     for b in batches:
         cfg = Config(image_height=h, image_width=w, batch_size=b,
                      loss_mode="sggan", use_resnet=True, segment_class=34,
@@ -94,7 +96,48 @@ def bench():
         ips = b / dt
         print(f"batch {b}: {ips:.2f} img/s ({dt * 1e3:.2f} ms/step)",
               file=sys.stderr)
-        best = max(best, ips)
+        if ips > best:
+            best, best_b, best_setup = ips, b, (cfg, state, batch, lr)
+
+    # Trainer `--scan_steps K`: K full train steps per dispatch via
+    # lax.scan over the device-resident split — amortizes per-dispatch
+    # latency (real training config; byte-identical numerics, tested).
+    # Measured at the best loop batch size only (one extra compile).
+    if best_setup is not None:
+        try:
+            from sggan_tpu.train.step import build_step_fn
+            cfg, state, batch, lr = best_setup
+            body = build_step_fn(cfg)
+            K = 8 if on_tpu else 2
+
+            def chunk(state, key, batch, lr):
+                def one(carry, _):
+                    st, ky = carry
+                    ky, ks = jax.random.split(ky)
+                    st, m = body(st, batch, lr, ks)
+                    return (st, ky), m
+                (state, key), ms = jax.lax.scan(one, (state, key), None,
+                                                length=K)
+                return state, key, ms
+
+            chunk = jax.jit(chunk, donate_argnums=(0,))
+            key = jax.random.PRNGKey(1)
+            for _ in range(2):
+                state, key, ms = chunk(state, key, batch, lr)
+            float(ms["gen_loss"][-1])
+            n_chunks = max(steps // K, 2)
+            t0 = time.perf_counter()
+            for _ in range(n_chunks):
+                state, key, ms = chunk(state, key, batch, lr)
+            float(ms["gen_loss"][-1])
+            dt = (time.perf_counter() - t0) / (n_chunks * K)
+            ips = best_b / dt
+            print(f"batch {best_b} scan_steps={K}: {ips:.2f} img/s "
+                  f"({dt * 1e3:.2f} ms/step)", file=sys.stderr)
+            best = max(best, ips)
+        except Exception as e:
+            print(f"scan-chunk bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
 
     print(json.dumps({
         "metric": "sggan_train_step_images_per_sec_per_chip_256x512",

@@ -142,6 +142,16 @@ class Config:
     # device-side gathers with zero per-step upload.  Used when the
     # (downscaled) split fits the budget; 0 disables.
     device_dataset_mb: int = 2048
+    # Train steps per device dispatch: with the device-resident split the
+    # trainer rolls `scan_steps` full steps (gather + fused preprocess +
+    # step) into ONE lax.scan program, amortizing per-step dispatch
+    # latency (costly through a remote device relay).  The PRNG key rides
+    # the scan carry with the same split(key, 3) sequence as the per-step
+    # path, so batches/augmentation/dropout are identical for any value
+    # (floats drift only by XLA scheduling noise across the two
+    # programs).  Saves/prints happen at chunk granularity.
+    # 1 = one dispatch per step.
+    scan_steps: int = 8
     log_dir: str = "logs"
 
     # ---- derived ----
@@ -203,6 +213,8 @@ class Config:
         if self.loss_mode == "cycle" and self.use_pix2pix:
             raise ValueError("loss_mode=cycle uses the semantic nets; "
                              "drop --use_pix2pix")
+        if self.scan_steps < 1:
+            raise ValueError("scan_steps must be >= 1")
         return self
 
 
@@ -274,6 +286,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="host-side source downscale cap (x target size), 0 = full res")
     p.add_argument("--device_dataset_mb", type=int, default=d.device_dataset_mb,
                    help="HBM budget for a device-resident training split, 0 disables")
+    p.add_argument("--scan_steps", type=int, default=d.scan_steps,
+                   help="train steps per device dispatch (lax.scan chunk) "
+                        "over the device-resident split; 1 = per-step dispatch")
     p.add_argument("--log_dir", default=d.log_dir)
     return p
 

@@ -160,20 +160,15 @@ class Trainer:
                   f"{type(e).__name__}: {e}")
             return None
 
-    def _make_fused_step(self, ds):
-        """ONE compiled program per step: device-side batch gather from
-        the HBM-resident split + fused preprocess + train step.  The
-        split gather/preprocess/step dispatches cost ~440 ms/step through
-        this environment's remote relay (PERF.md round 2); fused, each
-        step is a single dispatch.  Numerically identical to the unfused
-        path (same keys, same flag layout)."""
+    def _fused_batch_fn(self):
+        """Traced device-side batch assembly for the fused paths: gather
+        from the HBM-resident split + augmentation doubling + fused
+        preprocess — same keys and flag layout as the host iterator."""
         cfg = self.cfg
         from ..data.preprocess import preprocess_train
-        from .step import build_step_fn
-        body = build_step_fn(cfg)
         b = cfg.batch_size
 
-        def fn(state, img_all, seg_all, cls_all, idxs, k_pre, k_step, lr):
+        def make_batch(img_all, seg_all, cls_all, idxs, k_pre):
             take = lambda a: jnp.take(a, idxs, axis=0, mode="clip")
             img, seg, cls = take(img_all), take(seg_all), take(cls_all)
             if cfg.use_augmentation:
@@ -184,13 +179,104 @@ class Trainer:
                                          jnp.ones((b,), bool)])
             else:
                 flags = jnp.zeros((b,), bool)
-            batch = preprocess_train(
+            return preprocess_train(
                 img, seg, cls, k_pre, flags, out_hw=cfg.image_size,
                 mask_hw=cfg.mask_hw, n_class=cfg.segment_class,
                 photometric=cfg.use_photometric)
+
+        return make_batch
+
+    def _make_fused_step(self, ds):
+        """ONE compiled program per step: device-side batch gather from
+        the HBM-resident split + fused preprocess + train step.  The
+        split gather/preprocess/step dispatches cost ~440 ms/step through
+        this environment's remote relay (PERF.md round 2); fused, each
+        step is a single dispatch.  Numerically identical to the unfused
+        path (same keys, same flag layout)."""
+        cfg = self.cfg
+        from .step import build_step_fn
+        body = build_step_fn(cfg)
+        make_batch = self._fused_batch_fn()
+
+        def fn(state, img_all, seg_all, cls_all, idxs, k_pre, k_step, lr):
+            batch = make_batch(img_all, seg_all, cls_all, idxs, k_pre)
             return body(state, batch, lr, k_step)
 
         return jax.jit(fn, donate_argnums=(0,) if cfg.donate else ())
+
+    def _make_fused_scan(self, ds, k: int):
+        """`k` full train steps per dispatch: ONE lax.scan program rolling
+        gather + fused preprocess + step, amortizing per-step dispatch
+        latency (through this environment's remote relay each dispatch
+        costs milliseconds even on the fused path).  The PRNG key rides
+        the scan carry and derives per-step keys by the same
+        split(key, 3) sequence as the per-step path, so training matches
+        scan_steps=1 up to XLA scheduling noise (tested)."""
+        cfg = self.cfg
+        from .step import build_step_fn
+        body = build_step_fn(cfg)
+        make_batch = self._fused_batch_fn()
+
+        def fn(state, key, img_all, seg_all, cls_all, idxs, lr):
+            def one(carry, ix):
+                st, ky = carry
+                ky, k_pre, k_step = jax.random.split(ky, 3)
+                batch = make_batch(img_all, seg_all, cls_all, ix, k_pre)
+                st, m = body(st, batch, lr, k_step)
+                return (st, ky), m
+
+            (state, key), ms = jax.lax.scan(one, (state, key), idxs)
+            return state, key, ms
+
+        return jax.jit(fn, donate_argnums=(0,) if cfg.donate else ())
+
+    def _run_epoch_fused(self, epoch, lr, dev_ds, fused, fused_scan,
+                         g_losses, d_losses, global_step, start_time):
+        """One epoch over the device-resident split: scan_steps steps per
+        dispatch, remainder through the single-step fused program.
+        Prints and periodic saves land on chunk boundaries."""
+        cfg = self.cfg
+        b = cfg.batch_size
+        order = np.arange(len(dev_ds))
+        np.random.default_rng(cfg.data_seed + epoch).shuffle(order)
+        nb = len(dev_ds) // b
+        k_max = cfg.scan_steps if fused_scan is not None else 1
+        done = 0
+        while done < nb:
+            kc = min(k_max, nb - done)
+            ix = order[done * b:(done + kc) * b].astype(np.int32) \
+                .reshape(kc, b)
+            if kc == k_max and fused_scan is not None:
+                self.state, self.key, m = fused_scan(
+                    self.state, self.key, dev_ds.img, dev_ds.seg,
+                    dev_ds.cls, jnp.asarray(ix), lr)
+            else:
+                gs, dl = [], []
+                for r in range(kc):
+                    self.key, k_pre, k_step = jax.random.split(self.key, 3)
+                    self.state, mr = fused(
+                        self.state, dev_ds.img, dev_ds.seg, dev_ds.cls,
+                        jnp.asarray(ix[r]), k_pre, k_step, lr)
+                    gs.append(mr["gen_loss"])
+                    dl.append(mr["disc_loss"])
+                m = {"gen_loss": jnp.stack(gs), "disc_loss": jnp.stack(dl)}
+            g_losses.append(m["gen_loss"])
+            d_losses.append(m["disc_loss"])
+            pf = cfg.print_freq
+            if done == 0 or (done - 1) // pf != (done + kc - 1) // pf:
+                print("Epoch: [%2d] [%4d] time: %4.4f "
+                      "Gen_Loss: %f Disc_Loss: %f" % (
+                          epoch, done + kc - 1, time.time() - start_time,
+                          float(m["gen_loss"][-1]),
+                          float(m["disc_loss"][-1])))
+            prev = global_step
+            done += kc
+            global_step += kc
+            if cfg.save_freq and \
+                    prev // cfg.save_freq != global_step // cfg.save_freq:
+                ckpt.save(self.state, cfg.checkpoint_dir, cfg.dataset_dir,
+                          epoch)
+        return global_step
 
     # -------------------------------------------------------------- train
     def train(self) -> dict:
@@ -218,21 +304,20 @@ class Trainer:
         # -- int(self.state.step) every step would block async dispatch
         global_step = int(np.asarray(jax.device_get(self.state.step)))
         dev_ds = self._maybe_device_dataset()
-        fused = None
+        fused = fused_scan = None
         if dev_ds is not None and self.mesh is None and not self.cycle:
             fused = self._make_fused_step(dev_ds)
+            if cfg.scan_steps > 1:
+                fused_scan = self._make_fused_scan(dev_ds, cfg.scan_steps)
         try:
             for epoch in range(cfg.epoch):
                 lr = jnp.float32(lr_schedule(cfg, epoch))
                 g_losses, d_losses = [], []
                 if fused is not None:
-                    order = np.arange(len(dev_ds))
-                    np.random.default_rng(cfg.data_seed + epoch
-                                          ).shuffle(order)
-                    nb = len(dev_ds) // cfg.batch_size
-                    it = (jnp.asarray(
-                        order[b * cfg.batch_size:(b + 1) * cfg.batch_size]
-                        .astype(np.int32)) for b in range(nb))
+                    global_step = self._run_epoch_fused(
+                        epoch, lr, dev_ds, fused, fused_scan,
+                        g_losses, d_losses, global_step, start_time)
+                    it = ()
                 elif dev_ds is not None:
                     it = device_dataset_iterator(
                         dev_ds, cfg.batch_size, cfg.data_seed,
@@ -255,12 +340,7 @@ class Trainer:
                     it = zip(it, it_b)
                 for idx, raw in enumerate(it):
                     self.key, k_pre, k_step = jax.random.split(self.key, 3)
-                    if fused is not None:
-                        self.state, m = fused(self.state, dev_ds.img,
-                                              dev_ds.seg, dev_ds.cls, raw,
-                                              k_pre, k_step, lr)
-                        batch = None
-                    elif self.cycle:
+                    if self.cycle:
                         raw_a, raw_b = raw
                         k_a, k_b = jax.random.split(k_pre)
                         batch = self.preprocess(raw_a["img"], raw_a["seg"],
@@ -273,10 +353,9 @@ class Trainer:
                     else:
                         batch = self.preprocess(raw["img"], raw["seg"],
                                                 raw["cls"], k_pre, raw["aug"])
-                    if fused is None:
-                        batch = self._shard_batch(batch)
-                        self.state, m = self.step_fn(self.state, batch, lr,
-                                                     k_step)
+                    batch = self._shard_batch(batch)
+                    self.state, m = self.step_fn(self.state, batch, lr,
+                                                 k_step)
                     g_losses.append(m["gen_loss"])
                     d_losses.append(m["disc_loss"])
                     if idx % cfg.print_freq == 0:
@@ -295,13 +374,16 @@ class Trainer:
                     writer.image(f"Segmentation Epoch {epoch}", fake_concat,
                                  step=epoch)
                 if g_losses:
-                    writer.scalar("Generator Loss",
-                                  float(jnp.mean(jnp.stack(g_losses))), epoch)
+                    # fused-scan chunks append (k,) metric vectors, the
+                    # per-step paths scalars — concat covers both
+                    cat = lambda xs: jnp.concatenate(
+                        [jnp.atleast_1d(x) for x in xs])
+                    g_mean = float(jnp.mean(cat(g_losses)))
+                    writer.scalar("Generator Loss", g_mean, epoch)
                     writer.scalar("Discriminator Loss",
-                                  float(jnp.mean(jnp.stack(d_losses))), epoch)
+                                  float(jnp.mean(cat(d_losses))), epoch)
                 last = {"epoch": epoch, "score": score,
-                        "gen_loss": float(jnp.mean(jnp.stack(g_losses)))
-                        if g_losses else None}
+                        "gen_loss": g_mean if g_losses else None}
         except KeyboardInterrupt:
             ckpt.save(self.state, cfg.checkpoint_dir, cfg.dataset_dir, epoch)
             raise

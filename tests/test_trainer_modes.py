@@ -81,3 +81,40 @@ def test_fused_device_step_matches_host_path(ds, tmp_path):
         losses[name] = res["gen_loss"]
     np.testing.assert_allclose(losses["fused"], losses["host"],
                                rtol=1e-4)
+
+
+def test_scan_chunk_matches_per_step(ds, tmp_path):
+    """--scan_steps K (K steps per lax.scan dispatch, PRNG key in the
+    carry) must train equivalently to the per-step fused path: the scan
+    body derives keys by the same split(key, 3) sequence, so batches,
+    augmentations and dropout are identical.  Floats drift slightly
+    because scan and the unrolled step are different XLA programs
+    (scheduling/reassociation noise, amplified early by Adam's
+    m/(sqrt(v)+eps)) — tolerances reflect that, and would still catch a
+    wrong key sequence (different augmentation draws shift losses at the
+    percent level)."""
+    import jax
+
+    results = {}
+    for name, k in (("scan", 2), ("per_step", 1)):
+        cfg = base_cfg(ds, tmp_path / name, loss_mode="sggan",
+                       use_resnet=True, batch_size=1,
+                       device_dataset_mb=2048, scan_steps=k)
+        t = Trainer(cfg)
+        res = t.train()
+        results[name] = (res["gen_loss"],
+                         jax.tree.map(np.asarray, t.state.gen_params))
+    np.testing.assert_allclose(results["scan"][0], results["per_step"][0],
+                               rtol=1e-3)
+    for a, b in zip(jax.tree.leaves(results["scan"][1]),
+                    jax.tree.leaves(results["per_step"][1])):
+        np.testing.assert_allclose(a, b, atol=1e-2)
+
+
+def test_scan_chunk_remainder(ds, tmp_path):
+    """nb % scan_steps != 0: the epoch tail runs through the single-step
+    fused program; losses stay finite and every step is counted."""
+    cfg = base_cfg(ds, tmp_path, loss_mode="sggan", use_resnet=True,
+                   batch_size=1, device_dataset_mb=2048, scan_steps=3)
+    res = Trainer(cfg).train()  # nb=4 -> chunk of 3 + remainder of 1
+    assert np.isfinite(res["gen_loss"])
