@@ -4,12 +4,23 @@ The resnet generator's c7s1 head convolves 64 -> 3 channels at full
 resolution (module.py:267-268).  As a plain conv the MXU pads N=3 output
 channels to a 128-lane tile, wasting 42/43 of the array — measured 23.3
 ms fwd+bwd inside the 146 ms train step at 256x512 b=16 (PERF.md round
-2).  Restructured over r x r space-to-depth blocks the same convolution
-becomes k'=ceil((k-1+r)/r)+... taps over r^2*C input channels with
-r^2*cout output channels (48 lanes at r=4), cutting the lane waste ~16x
-at the cost of one relayout each side.  Numerically identical to the
-direct conv up to f32 summation order (validated in tests and against
-the golden fixtures).
+2).  Computing all r x r output pixels of a block at once turns it into
+a STRIDE-r conv with an expanded (k+r-1)^2 kernel and r^2*cout output
+channels (48 lanes at r=4, ~16x less lane waste):
+
+    y[b, r*u+pi, r*v+pj, o]
+      = sum_{dy,dx,c} x[b, r*u+pi+dy, r*v+pj+dx, c] * w[dy, dx, c, o]
+      = conv(x, W2, stride=r)[b, u, v, (pi, pj, o)],
+        W2[P, Q, c, (pi, pj, o)] = w[P-pi, Q-pj, c, o]  (zero outside).
+
+Unlike the blocked space-to-depth formulation (which reshapes the input
+into r^2*C channels), the strided form needs NO input-side relayout —
+the round-2 profiler trace showed the blocked form's backward spending
+~3.6 ms/step in transpose copies — and carries (k+r-1)^2 / (kb^2 r^2)
+~= 0.7x the taps.  Only the small (H/r, W/r, r^2*cout) output is
+depth-to-space'd back.  Numerically identical to the direct conv up to
+f32 summation order (validated in tests and against the golden
+fixtures).
 """
 
 from __future__ import annotations
@@ -28,54 +39,41 @@ def applicable(x_padded, w, r: int = 4) -> bool:
             and h >= r and wd >= r)
 
 
-def _s2d(x, r: int):
-    b, h, w, c = x.shape
-    x = x.reshape(b, h // r, r, w // r, r, c)
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // r, w // r,
-                                                 r * r * c)
-
-
 def _d2s(y, r: int, cout: int):
     b, hb, wb, _ = y.shape
     y = y.reshape(b, hb, wb, r, r, cout)
     return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, hb * r, wb * r, cout)
 
 
-def _s2d_weights(w, r: int, kb: int):
-    """w_s2d[U, V, (uph, vph, cin), (pi, pj, o)] =
-    w[r*U + uph - pi, r*V + vph - pj, cin, o], zero outside the kernel."""
+def _s2d_weights(w, r: int):
+    """W2[P, Q, cin, (pi, pj, o)] = w[P-pi, Q-pj, cin, o], zero outside
+    the kernel; P, Q in [0, k+r-1)."""
     k, _, cin, cout = w.shape
-    u = (r * np.arange(kb)[:, None, None]
-         + np.arange(r)[None, :, None]          # uph
-         - np.arange(r)[None, None, :])         # pi
-    valid = (u >= 0) & (u < k)
-    uc = jnp.asarray(np.clip(u, 0, k - 1).reshape(-1))
+    kp = k + r - 1
+    d = np.arange(kp)[:, None] - np.arange(r)[None, :]   # (P, pi) -> dy
+    valid = (d >= 0) & (d < k)
+    dc = np.clip(d, 0, k - 1).reshape(-1)
     vmask = jnp.asarray(valid.reshape(-1))
-    wp = jnp.where(vmask[:, None, None, None], w[uc], 0.0)
-    wp = wp.reshape(kb, r, r, k, cin, cout)
-    wpv = jnp.where(vmask[None, None, None, :, None, None],
-                    wp[:, :, :, uc], 0.0)
-    wpv = wpv.reshape(kb, r, r, kb, r, r, cin, cout)
-    # (U, uph, pi, V, vph, pj, c, o) -> (U, V, uph, vph, c, pi, pj, o)
-    wpv = wpv.transpose(0, 3, 1, 4, 6, 2, 5, 7)
-    return wpv.reshape(kb, kb, r * r * cin, r * r * cout)
+    # rows: (P, pi) indexing dy
+    w1 = jnp.where(vmask[:, None, None, None], w[dc], 0.0)
+    w1 = w1.reshape(kp, r, k, cin, cout)
+    # cols: (Q, pj) indexing dx
+    w2 = jnp.where(vmask[None, None, :, None, None], w1[:, :, dc], 0.0)
+    w2 = w2.reshape(kp, r, kp, r, cin, cout)
+    # (P, pi, Q, pj, c, o) -> (P, Q, c, pi, pj, o)
+    w2 = w2.transpose(0, 2, 4, 1, 3, 5)
+    return w2.reshape(kp, kp, cin, r * r * cout)
 
 
 def conv2d_valid_s2d(params, x_padded, r: int = 4, compute_dtype=None):
     """Drop-in for ``conv2d(params, x_padded, 1, "VALID")`` on a
-    pre-padded input, via space-to-depth blocks."""
+    pre-padded input, via a stride-r conv over r x r output blocks."""
     cd = compute_dtype or x_padded.dtype
     w = params["w"]
     k, _, _, cout = w.shape
-    b, hp, wp_, _ = x_padded.shape
-    ho, wo = hp - (k - 1), wp_ - (k - 1)
-    kb = (r + k - 2) // r + 1
-    hb, wb = ho // r + kb - 1, wo // r + kb - 1
-    x = jnp.pad(x_padded.astype(cd),
-                ((0, 0), (0, hb * r - hp), (0, wb * r - wp_), (0, 0)))
     yb = lax.conv_general_dilated(
-        _s2d(x, r), _s2d_weights(w, r, kb).astype(cd), (1, 1), "VALID",
-        dimension_numbers=_DIMS)
+        x_padded.astype(cd), _s2d_weights(w, r).astype(cd), (r, r),
+        "VALID", dimension_numbers=_DIMS)
     y = _d2s(yb, r, cout)
     if "b" in params:
         y = y + params["b"].astype(cd)
