@@ -10,10 +10,14 @@ best-run config and evaluate every epoch under THREE eval conventions:
   clean    — test_uint8_input=False, compat_eval_overflow=False ([0,1]
              inputs, honest argmax)
 
-    python quality_run.py <seed> <epochs> [workdir]
+    python quality_run.py <seed> <epochs> [workdir] [key=value ...]
 
-Prints one JSON line per epoch per variant; scalars also land in the
-run's tfevents (primary variant only).
+Trailing key=value pairs override Config fields (ints/floats/bools
+parsed), e.g. ``loss_mode=sggan use_resnet=true image_height=256
+image_width=512`` runs the flagship TPU-native configuration instead of
+the reference-default p2p/unet/128px.  Prints one JSON line per epoch
+per variant; scalars also land in the run's tfevents (primary variant
+only).
 """
 
 import json
@@ -50,17 +54,31 @@ class MultiEvalTrainer(Trainer):
         return out, score0
 
 
+def _parse_override(v: str):
+    if v.lower() in ("true", "false"):
+        return v.lower() == "true"
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            pass
+    return v
+
+
 def main():
     seed = int(sys.argv[1]) if len(sys.argv) > 1 else 19
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 21
     work = sys.argv[3] if len(sys.argv) > 3 else f"/tmp/quality_s{seed}"
+    overrides = dict(
+        (k, _parse_override(v))
+        for k, v in (a.split("=", 1) for a in sys.argv[4:]))
     os.makedirs(work, exist_ok=True)
     os.chdir(work)
     cfg = Config(dataset_dir="/root/reference/datasets/city",
                  epoch=epochs, batch_size=1, image_height=128,
                  image_width=128, phase="train", data_seed=seed,
                  compute_dtype="bfloat16", decode_cache_mb=8192,
-                 save_freq=0, print_freq=50)
+                 save_freq=0, print_freq=50).replace(**overrides).validate()
     tr = MultiEvalTrainer(cfg)
     last = tr.train()
     print("DONE " + json.dumps({"seed": seed, "epochs": epochs,

@@ -193,10 +193,6 @@ class Config:
                 raise ValueError(
                     "mesh_space_w>1 requires mesh_space>1 (the W axis "
                     "extends the H shard grid)")
-            if self.use_pix2pix:
-                raise ValueError(
-                    "the pix2pix spatial path is H-only; mesh_space_w "
-                    "supports the semantic nets")
             per_w = self.image_width // self.mesh_space_w
             if self.image_width % self.mesh_space_w or per_w % 8:
                 raise ValueError(

@@ -29,8 +29,10 @@ Halo columns travel by the same ppermute mechanics; corners are handled by
 ordering the exchanges H-then-W — the columns a shard sends already carry
 the halo rows it received from its H neighbours, which is exactly the
 diagonal-shard data the receiving corner needs.  Instance/batch-norm
-moments psum over both spatial axes.  The pix2pix forwards remain H-only
-(their gather-at-depth fallback is 1-D by construction).
+moments psum over both spatial axes.  The pix2pix forwards support the
+2-D grid too: their gather-at-depth fallback gathers both planes when
+either local dim would fall below 2 and re-scatters both on decoder
+re-entry.
 """
 
 from __future__ import annotations
@@ -224,6 +226,19 @@ def all_gather_h(x, axis_name: str):
     return lax.all_gather(x, axis_name, axis=1, tiled=True)
 
 
+def all_gather_w(x, axis_w: str):
+    """Reassemble the full W plane on every shard (tiled all_gather)."""
+    return lax.all_gather(x, axis_w, axis=2, tiled=True)
+
+
+def scatter_w(x, axis_w: str):
+    """Take this shard's local W slice of a replicated block."""
+    n = lax.axis_size(axis_w)
+    local = x.shape[2] // n
+    return lax.dynamic_slice_in_dim(x, lax.axis_index(axis_w) * local,
+                                    local, 2)
+
+
 def scatter_h(x, axis_name: str):
     """Take this shard's local H slice of a replicated block."""
     n = lax.axis_size(axis_name)
@@ -412,21 +427,24 @@ def discriminator_sp(params, x, mask, axis_name: str, compute_dtype=None,
 def generator_pix2pix_sp(params, state, x, axis_name: str,
                          compute_dtype=None, rng=None,
                          deterministic: bool = True, train: bool = False,
-                         ngf: int = 64):
-    """pix2pix U-Net (models/generator_pix2pix.py) on an H-sharded block.
+                         ngf: int = 64, axis_w: Optional[str] = None):
+    """pix2pix U-Net (models/generator_pix2pix.py) on an H-sharded
+    (optionally H x W-sharded) block.
 
-    The encoder halves H per block, so once the local block would fall
-    below 2 rows the plane is all_gather'ed and the deep middle runs
-    replicated — those activations are tiny (<= 2 * n_shards rows); the
+    The encoder halves the plane per block, so once a local dim would
+    fall below 2 the plane is all_gather'ed (both axes on a 2-D grid) and
+    the deep middle runs replicated — those activations are tiny; the
     memory/compute win of spatial sharding lives in the high-res layers.
     The decoder re-scatters at the level whose skip is sharded.  BN
-    moments psum over the axis in the sharded region; replicated-region
-    shards compute identical values.  Returns (y, new_bn_state)."""
+    moments psum over the space axis/axes in the sharded region;
+    replicated-region shards compute identical values.  Returns
+    (y, new_bn_state)."""
     from ..models.generator_pix2pix import DROP_RATE, _plan
     from ..ops.layers import conv2d, conv2d_transpose, dropout, relu
     from ..ops.norm import batch_norm
 
     cd = compute_dtype or x.dtype
+    aw = axis_w
     n_sp = lax.axis_size(axis_name)
     down, up = _plan(x.shape[1] * n_sp, ngf)
     new_state = {}
@@ -434,22 +452,34 @@ def generator_pix2pix_sp(params, state, x, axis_name: str,
     def bn(name, v, is_sharded):
         merged = {**params[name], **state[name]}
         if is_sharded:
-            out, new = batch_norm_sp(merged, v, axis_name, training=train)
+            out, new = batch_norm_sp(merged, v, axis_name, training=train,
+                                     axis_w=aw)
         else:
             out, new = batch_norm(merged, v, training=train)
         new_state[name] = {"moving_mean": new["moving_mean"],
                            "moving_var": new["moving_var"]}
         return out
 
+    def too_small(v):
+        return v.shape[1] < 2 or (aw is not None and v.shape[2] < 2)
+
+    def gather(v):
+        v = all_gather_h(v, axis_name)
+        return all_gather_w(v, aw) if aw is not None else v
+
+    def scatter(v):
+        v = scatter_h(v, axis_name)
+        return scatter_w(v, aw) if aw is not None else v
+
     y = x.astype(cd)
     sharded = True
     skips = []
     for i in range(len(down)):
-        if sharded and y.shape[1] < 2:
-            y = all_gather_h(y, axis_name)
+        if sharded and too_small(y):
+            y = gather(y)
             sharded = False
-        y = (conv2d_sp(params[f"down{i}"], y, 2, axis_name, cd) if sharded
-             else conv2d(params[f"down{i}"], y, 2, "SAME", cd))
+        y = (conv2d_sp(params[f"down{i}"], y, 2, axis_name, cd, axis_w=aw)
+             if sharded else conv2d(params[f"down{i}"], y, 2, "SAME", cd))
         if i > 0:
             y = bn(f"down{i}_bn", y, sharded)
         y = leaky_relu(y)
@@ -461,64 +491,77 @@ def generator_pix2pix_sp(params, state, x, axis_name: str,
     for i in range(len(up)):
         skip, skip_sharded = skips[i]
         if sharded:
-            y = conv2d_transpose_sp(params[f"up{i}"], y, 2, axis_name, cd)
+            y = conv2d_transpose_sp(params[f"up{i}"], y, 2, axis_name, cd,
+                                    axis_w=aw)
         else:
             y = conv2d_transpose(params[f"up{i}"], y, 2, "SAME", cd)
             if skip_sharded:  # resolution re-entered the sharded domain
-                y = scatter_h(y, axis_name)
+                y = scatter(y)
                 sharded = True
         y = bn(f"up{i}_bn", y, sharded)
         if i < 3 and use_drop:
             k = drop_keys[i]
             if sharded:  # per-shard masks (iid per pixel)
                 k = jax.random.fold_in(k, lax.axis_index(axis_name))
+                if aw is not None:
+                    k = jax.random.fold_in(k, lax.axis_index(aw))
             y = dropout(k, y, DROP_RATE, deterministic=False)
         y = relu(y)
         y = jnp.concatenate([y, skip], axis=-1)
 
     if sharded:
-        y = conv2d_transpose_sp(params["last"], y, 2, axis_name, cd)
+        y = conv2d_transpose_sp(params["last"], y, 2, axis_name, cd,
+                                axis_w=aw)
     else:
         y = conv2d_transpose(params["last"], y, 2, "SAME", cd)
-        y = scatter_h(y, axis_name)
+        y = scatter(y)
     return tanh(y.astype(jnp.float32)), new_state
 
 
 def discriminator_pix2pix_sp(params, state, inp, tar, axis_name: str,
-                             compute_dtype=None, train: bool = False):
+                             compute_dtype=None, train: bool = False,
+                             axis_w: Optional[str] = None):
     """pix2pix PatchGAN (models/discriminator_pix2pix.py) on H-sharded
-    inputs: the 3 stride-2 downsamples run sharded (BN psum'd), then the
-    small zero-pad + VALID tail runs replicated after an all_gather.
+    (optionally H x W-sharded) inputs: the 3 stride-2 downsamples run
+    sharded (BN psum'd over the space axis/axes), then the small
+    zero-pad + VALID tail runs replicated after an all_gather.
     Returns (replicated patch logits, new_bn_state)."""
     from ..ops.layers import conv2d
     from ..ops.norm import batch_norm
 
     cd = compute_dtype or inp.dtype
+    aw = axis_w
     new_state = {}
 
     def bn(name, v, is_sharded):
         merged = {**params[name], **state[name]}
         if is_sharded:
-            out, new = batch_norm_sp(merged, v, axis_name, training=train)
+            out, new = batch_norm_sp(merged, v, axis_name, training=train,
+                                     axis_w=aw)
         else:
             out, new = batch_norm(merged, v, training=train)
         new_state[name] = {"moving_mean": new["moving_mean"],
                            "moving_var": new["moving_var"]}
         return out
 
+    def gather(v):
+        v = all_gather_h(v, axis_name)
+        return all_gather_w(v, aw) if aw is not None else v
+
     y = jnp.concatenate([inp.astype(cd), tar.astype(cd)], axis=-1)
     sharded = True
     for i in range(3):
-        if sharded and y.shape[1] < 2:
-            y = all_gather_h(y, axis_name)
+        if sharded and (y.shape[1] < 2
+                        or (aw is not None and y.shape[2] < 2)):
+            y = gather(y)
             sharded = False
-        y = (conv2d_sp(params[f"down{i}"], y, 2, axis_name, cd) if sharded
-             else conv2d(params[f"down{i}"], y, 2, "SAME", cd))
+        y = (conv2d_sp(params[f"down{i}"], y, 2, axis_name, cd, axis_w=aw)
+             if sharded else conv2d(params[f"down{i}"], y, 2, "SAME", cd))
         if i > 0:
             y = bn(f"down{i}_bn", y, sharded)
         y = leaky_relu(y)
     if sharded:
-        y = all_gather_h(y, axis_name)
+        y = gather(y)
     pad = [(0, 0), (1, 1), (1, 1), (0, 0)]
     y = jnp.pad(y, pad)
     y = conv2d(params["conv"], y, 1, "VALID", cd)

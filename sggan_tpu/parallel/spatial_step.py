@@ -3,7 +3,7 @@
 The batch axis is sharded over mesh axis ``data`` AND the image H axis over
 mesh axis ``space`` — 2-D SPMD for native-resolution training.  A mesh with
 a ``wspace`` axis additionally shards the image W plane (2-D H x W shard
-grid for very wide panoramas; semantic nets only).  Built on
+grid for very wide panoramas; semantic and pix2pix nets).  Built on
 the spatially-sharded resnet generator and patch-head semantic
 discriminator (spatial.py); instance-norm moments psum over ``space``,
 halo rows travel by ppermute, and gradients/losses pmean over both axes
@@ -83,9 +83,8 @@ def build_sp_step_fn(cfg, data_axis: str = DATA_AXIS,
     if cfg.use_pix2pix:
         assert cfg.loss_mode == "p2p", \
             "pix2pix spatial step runs the p2p objective"
-        assert wspace_axis is None, \
-            "the pix2pix spatial path is H-only (gather-at-depth is 1-D)"
-        return _build_sp_step_p2p_pix2pix(cfg, data_axis, space_axis)
+        return _build_sp_step_p2p_pix2pix(cfg, data_axis, space_axis,
+                                          wspace_axis)
     assert cfg.loss_mode == "sggan", \
         "semantic spatial step runs the sggan objective"
     cd = _dtype(cfg)
@@ -164,14 +163,17 @@ def build_sp_step_fn(cfg, data_axis: str = DATA_AXIS,
     return step_fn
 
 
-def _build_sp_step_p2p_pix2pix(cfg, data_axis: str, space_axis: str):
-    """p2p objective with the pix2pix nets, (data x space) sharded.  BN
-    statistics in the sharded region psum over ``space`` (exact global
-    spatial moments per data shard) and the updated states pmean over
-    ``data`` — the same aggregation dp.py applies."""
+def _build_sp_step_p2p_pix2pix(cfg, data_axis: str, space_axis: str,
+                               wspace_axis: Optional[str] = None):
+    """p2p objective with the pix2pix nets, (data x space[ x wspace])
+    sharded.  BN statistics in the sharded region psum over the space
+    axis/axes (exact global spatial moments per data shard) and the
+    updated states pmean over ``data`` — the same aggregation dp.py
+    applies."""
     cd = _dtype(cfg)
     tx = _tx(cfg.beta1)
-    axes = (data_axis, space_axis)
+    aw = wspace_axis
+    axes = (data_axis, space_axis) + ((aw,) if aw else ())
     deterministic = cfg.dropout_mode == "keras_quirk"
     bn_train = not deterministic
 
@@ -184,10 +186,11 @@ def _build_sp_step_p2p_pix2pix(cfg, data_axis: str, space_axis: str):
         def gen_loss_fn(gp, gbn):
             fake, new_gbn = spatial.generator_pix2pix_sp(
                 gp, gbn, real_a, space_axis, cd, rng=rng_g,
-                deterministic=deterministic, train=bn_train, ngf=cfg.ngf)
+                deterministic=deterministic, train=bn_train, ngf=cfg.ngf,
+                axis_w=aw)
             da_fake, _ = spatial.discriminator_pix2pix_sp(
                 state.disc_params, state.disc_bn, seg_a, fake, space_axis,
-                cd, train=False)
+                cd, train=False, axis_w=aw)
             return losses.gen_loss_p2p(da_fake, fake, seg_a), (fake, new_gbn)
 
         (g_loss, (fake, new_gbn)), g_grads = jax.value_and_grad(
@@ -197,9 +200,11 @@ def _build_sp_step_p2p_pix2pix(cfg, data_axis: str, space_axis: str):
 
         def disc_loss_fn(dp, dbn):
             da_real, dbn1 = spatial.discriminator_pix2pix_sp(
-                dp, dbn, seg_a, seg_a, space_axis, cd, train=bn_train)
+                dp, dbn, seg_a, seg_a, space_axis, cd, train=bn_train,
+                axis_w=aw)
             da_fake_s, dbn2 = spatial.discriminator_pix2pix_sp(
-                dp, dbn1, seg_a, fake_sg, space_axis, cd, train=bn_train)
+                dp, dbn1, seg_a, fake_sg, space_axis, cd, train=bn_train,
+                axis_w=aw)
             return losses.disc_loss_p2p(da_real, da_fake_s), dbn2
 
         (d_loss, new_dbn), d_grads = jax.value_and_grad(

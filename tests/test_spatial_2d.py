@@ -305,3 +305,70 @@ def test_config_validates_mesh_space_w():
         Config(image_height=32, image_width=48, mesh_space=2,
                mesh_space_w=4, loss_mode="sggan", use_resnet=True,
                use_augmentation=False).validate()
+
+
+def test_generator_pix2pix_2d_grid_matches():
+    from sggan_tpu.models import generator_pix2pix
+    mesh = grid_mesh()
+    params, state = generator_pix2pix.init(KEY, ngf=4, image_size=32)
+    x = jax.random.uniform(jax.random.PRNGKey(14), (1, 32, 32, 3))
+    ref, _ = generator_pix2pix.apply(params, state, x, ngf=4)
+
+    def fn(p_, s_, x_):
+        y, _ = spatial.generator_pix2pix_sp(p_, s_, x_, AX, ngf=4,
+                                            axis_w=AXW)
+        return y
+
+    got = run_sharded(fn, mesh, (P(), P(), SHARD_HW), SHARD_HW,
+                      params, state, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_discriminator_pix2pix_2d_grid_matches():
+    from sggan_tpu.models import discriminator_pix2pix
+    mesh = grid_mesh()
+    params, state = discriminator_pix2pix.init(KEY, ndf=4)
+    a = jax.random.uniform(jax.random.PRNGKey(15), (1, 32, 32, 3))
+    b = jax.random.uniform(jax.random.PRNGKey(16), (1, 32, 32, 3))
+    ref, _ = discriminator_pix2pix.apply(params, state, a, b)
+
+    def fn(p_, s_, a_, b_):
+        y, _ = spatial.discriminator_pix2pix_sp(p_, s_, a_, b_, AX,
+                                                axis_w=AXW)
+        return y
+
+    got = run_sharded(fn, mesh, (P(), P(), SHARD_HW, SHARD_HW), P(),
+                      params, state, a, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sp_step_pix2pix_2d_grid_matches_1d_losses():
+    """The p2p/pix2pix step on a (data=2, space=2, wspace=2) grid matches
+    the (data=2, space=4) step losses.  keras_quirk keeps dropout off
+    (per-shard dropout keys legitimately differ between mesh shapes); BN
+    training moments are covered by test_batch_norm_2d_grid_matches."""
+    from sggan_tpu.parallel.spatial_step import (init_sp_state,
+                                                 make_sp_train_step,
+                                                 place_sp, shard_sp_batch)
+    cfg = _mk_cfg(loss_mode="p2p", use_resnet=False, use_pix2pix=True,
+                  dropout_mode="keras_quirk")
+    batch = _mk_batch(cfg, jax.random.PRNGKey(17))
+    lr = jnp.float32(1e-3)
+    rng = jax.random.PRNGKey(18)
+
+    results = []
+    for mesh in (make_mesh(data=2, space=4),
+                 make_mesh(data=2, space=2, wspace=2)):
+        state = place_sp(init_sp_state(cfg, jax.random.PRNGKey(10),
+                                       n_data=2), mesh)
+        step = make_sp_train_step(cfg, mesh, donate=False)
+        _, metrics = step(state, shard_sp_batch(batch, mesh), lr, rng)
+        results.append((float(metrics["gen_loss"]),
+                        float(metrics["disc_loss"])))
+
+    (gl1, dl1), (gl2, dl2) = results
+    assert np.isfinite(gl1) and np.isfinite(dl1)
+    np.testing.assert_allclose(gl2, gl1, rtol=1e-5)
+    np.testing.assert_allclose(dl2, dl1, rtol=1e-5)
