@@ -152,6 +152,12 @@ class Config:
     # programs).  Saves/prints happen at chunk granularity.
     # 1 = one dispatch per step.
     scan_steps: int = 8
+    # When set, the trainer traces a short window of train dispatches
+    # with jax.profiler into this directory (first dispatch excluded so
+    # compile stays out of the trace) and logs a per-epoch Images/sec
+    # scalar.  Empty disables.  (SURVEY §5: the reference has no
+    # tracing/profiling at all.)
+    profile_dir: str = ""
     log_dir: str = "logs"
 
     # ---- derived ----
@@ -285,6 +291,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scan_steps", type=int, default=d.scan_steps,
                    help="train steps per device dispatch (lax.scan chunk) "
                         "over the device-resident split; 1 = per-step dispatch")
+    p.add_argument("--profile_dir", default=d.profile_dir,
+                   help="jax.profiler trace dir for a short train-step "
+                        "window; empty disables")
     p.add_argument("--log_dir", default=d.log_dir)
     return p
 

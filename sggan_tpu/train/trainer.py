@@ -29,6 +29,7 @@ from ..metrics.scores import scores, scores_seg_fake
 from ..models import generator_pix2pix, generator_resnet, generator_unet
 from ..utils import checkpoint as ckpt
 from ..utils.images import get_img, save_images
+from ..utils.profiling import StepTimer, TraceWindow
 from ..utils.summary import SummaryWriter
 from .step import TrainState, init_state, lr_schedule, make_train_step
 
@@ -246,6 +247,7 @@ class Trainer:
             kc = min(k_max, nb - done)
             ix = order[done * b:(done + kc) * b].astype(np.int32) \
                 .reshape(kc, b)
+            b_eff = b * (2 if cfg.use_augmentation else 1)
             if kc == k_max and fused_scan is not None:
                 self.state, self.key, m = fused_scan(
                     self.state, self.key, dev_ds.img, dev_ds.seg,
@@ -262,6 +264,9 @@ class Trainer:
                 m = {"gen_loss": jnp.stack(gs), "disc_loss": jnp.stack(dl)}
             g_losses.append(m["gen_loss"])
             d_losses.append(m["disc_loss"])
+            self._timer.mark(kc * b_eff)
+            if self._prof is not None:
+                self._prof.tick()
             pf = cfg.print_freq
             if done == 0 or (done - 1) // pf != (done + kc - 1) // pf:
                 print("Epoch: [%2d] [%4d] time: %4.4f "
@@ -303,6 +308,9 @@ class Trainer:
         # host-side step counter (one device read at start, e.g. on resume)
         # -- int(self.state.step) every step would block async dispatch
         global_step = int(np.asarray(jax.device_get(self.state.step)))
+        self._prof = TraceWindow(cfg.profile_dir) if cfg.profile_dir \
+            else None
+        self._timer = StepTimer()
         dev_ds = self._maybe_device_dataset()
         fused = fused_scan = None
         if dev_ds is not None and self.mesh is None and not self.cycle:
@@ -313,6 +321,8 @@ class Trainer:
             for epoch in range(cfg.epoch):
                 lr = jnp.float32(lr_schedule(cfg, epoch))
                 g_losses, d_losses = [], []
+                self._timer.reset()
+                self._timer.start()
                 if fused is not None:
                     global_step = self._run_epoch_fused(
                         epoch, lr, dev_ds, fused, fused_scan,
@@ -358,6 +368,9 @@ class Trainer:
                                                  k_step)
                     g_losses.append(m["gen_loss"])
                     d_losses.append(m["disc_loss"])
+                    self._timer.mark(int(batch["real_a"].shape[0]))
+                    if self._prof is not None:
+                        self._prof.tick()
                     if idx % cfg.print_freq == 0:
                         print("Epoch: [%2d] [%4d] time: %4.4f "
                               "Gen_Loss: %f Disc_Loss: %f" % (
@@ -368,6 +381,10 @@ class Trainer:
                     if cfg.save_freq and global_step % cfg.save_freq == 0:
                         ckpt.save(self.state, cfg.checkpoint_dir,
                                   cfg.dataset_dir, epoch)
+
+                # throughput before eval; sync on the last loss so the
+                # interval covers real execution
+                rate = self._timer.read(d_losses[-1]) if d_losses else None
 
                 fake_concat, score = self.test_during_train(epoch, writer)
                 if fake_concat is not None:
@@ -382,12 +399,17 @@ class Trainer:
                     writer.scalar("Generator Loss", g_mean, epoch)
                     writer.scalar("Discriminator Loss",
                                   float(jnp.mean(cat(d_losses))), epoch)
+                    if rate is not None:
+                        writer.scalar("Images/sec",
+                                      rate["images_per_sec"], epoch)
                 last = {"epoch": epoch, "score": score,
                         "gen_loss": g_mean if g_losses else None}
         except KeyboardInterrupt:
             ckpt.save(self.state, cfg.checkpoint_dir, cfg.dataset_dir, epoch)
             raise
         finally:
+            if self._prof is not None:
+                self._prof.close()
             ckpt.save(self.state, cfg.checkpoint_dir, cfg.dataset_dir, epoch)
             writer.close()
         return last

@@ -58,3 +58,35 @@ class StepTimer:
         ips = self._images / dt if dt > 0 else 0.0
         out = {"images": self._images, "seconds": dt, "images_per_sec": ips}
         return out
+
+
+class TraceWindow:
+    """Profiles a bounded window of train dispatches (CLI --profile_dir).
+
+    Call ``tick()`` after every step/chunk dispatch: the trace starts
+    after `start_after` dispatches (so the first-call compile stays out
+    of the trace) and covers the next `n`; ``close()`` stops an open
+    trace at shutdown.  Produces a Perfetto/xprof trace under
+    ``logdir/plugins/profile/...`` (works through this environment's
+    remote device relay — PERF.md)."""
+
+    def __init__(self, logdir: str, start_after: int = 1, n: int = 2):
+        self.logdir = logdir
+        self.start_after = start_after
+        self.n = n
+        self._count = 0
+        self._state = 0  # 0 pending, 1 tracing, 2 done
+
+    def tick(self):
+        self._count += 1
+        if self._state == 0 and self._count >= self.start_after:
+            jax.profiler.start_trace(self.logdir)
+            self._state = 1
+        elif self._state == 1 and self._count >= self.start_after + self.n:
+            jax.profiler.stop_trace()
+            self._state = 2
+
+    def close(self):
+        if self._state == 1:
+            jax.profiler.stop_trace()
+            self._state = 2

@@ -118,3 +118,24 @@ def test_scan_chunk_remainder(ds, tmp_path):
                    batch_size=1, device_dataset_mb=2048, scan_steps=3)
     res = Trainer(cfg).train()  # nb=4 -> chunk of 3 + remainder of 1
     assert np.isfinite(res["gen_loss"])
+
+
+def test_profile_dir_and_throughput_scalar(ds, tmp_path):
+    """--profile_dir produces a jax.profiler trace for a short dispatch
+    window, and every epoch logs an Images/sec scalar (StepTimer)."""
+    import glob
+
+    from sggan_tpu.utils.summary import read_scalars
+
+    prof = str(tmp_path / "prof")
+    cfg = base_cfg(ds, tmp_path, profile_dir=prof)
+    res = Trainer(cfg).train()
+    assert np.isfinite(res["gen_loss"])
+    traces = glob.glob(os.path.join(prof, "**", "*.trace.json.gz"),
+                       recursive=True)
+    assert traces, "no profiler trace written"
+    run = os.path.join(cfg.log_dir, os.listdir(cfg.log_dir)[0], "train")
+    events = [os.path.join(run, f) for f in os.listdir(run)
+              if "tfevents" in f]
+    scalars = read_scalars(events[0])
+    assert "Images/sec" in scalars and scalars["Images/sec"][0][1] > 0
