@@ -106,6 +106,13 @@ class Config:
     # "simple" — the reference's dormant sce losses with 1/ratio_gan2seg
     #           GAN weighting (model.py:135-147), wired for real.
     loss_mode: str = "p2p"
+    # L1 anchor for loss_mode="sggan".  "real" reproduces the dormant
+    # generator_loss exactly: L1(real_A, fake) (model.py:122, CycleGAN
+    # photo-to-photo lineage) — which conflicts with the seg_A
+    # discriminator real-branch and collapses training (QUALITY.md).
+    # "seg" anchors to seg_A like the active p2p loss (model.py:155),
+    # making the full objective consistent with the data pairing.
+    sggan_l1_target: str = "real"      # "real" (faithful) | "seg"
     identity_lambda: float = 5.0       # identity term weight in cycle mode
     # Dense-CRF refinement of eval predictions (the reference builds this
     # machinery, metric.py:49-69 + model.py:278-305, but leaves the call
@@ -273,6 +280,11 @@ def build_parser() -> argparse.ArgumentParser:
     _add_bool(p, "use_photometric", d.use_photometric,
               "photometric augmentation (the reference's dormant imgaug seq1)")
     p.add_argument("--loss_mode", default=d.loss_mode, choices=["p2p", "sggan", "cycle", "simple"])
+    p.add_argument("--sggan_l1_target", default=d.sggan_l1_target,
+                   choices=["real", "seg"],
+                   help="sggan-mode L1 anchor: 'real' = the reference's "
+                        "dormant code (model.py:122), 'seg' = consistent "
+                        "with the seg_A discriminator pairing")
     p.add_argument("--identity_lambda", type=float, default=d.identity_lambda)
     _add_bool(p, "eval_crf", d.eval_crf,
               "apply dense-CRF refinement to eval predictions")

@@ -125,14 +125,26 @@ def disc_loss_p2p_hist(da_real, da_hist, valid):
 # ------------------------------------------------ full SG-GAN objective
 
 def gen_loss_sggan(da_fake, real_a, fake_a, seg_a, *, use_lsgan: bool,
-                   l1_lambda: float, lg_lambda: float):
+                   l1_lambda: float, lg_lambda: float,
+                   l1_target: str = "real"):
     """The dormant generator_loss (model.py:114-124) plus the paper's
     gradient-sensitive term actually applied (the reference builds
     weighted_seg_A but never adds the term; BASELINE.json's north star asks
-    for it)."""
+    for it).
+
+    l1_target: "real" reproduces the dormant code exactly — the L1
+    anchors the fake to real_A (model.py:122, CycleGAN photo-to-photo
+    lineage), which CONFLICTS with the train step's seg_A discriminator
+    real-branch and collapses training (QUALITY.md's 256x512 ablations);
+    "seg" anchors to seg_A like the active p2p loss (model.py:155),
+    making the full objective consistent with the data pairing.  The
+    gradient-sensitive term always compares the fake's edges to the
+    photo's (the paper's edge-preservation semantics) gated by the
+    class-boundary weight map."""
     crit = criterion_gan(use_lsgan)
     g = crit(da_fake, jnp.ones_like(da_fake))
-    g = g + l1_lambda * abs_criterion(real_a, fake_a)
+    anchor = seg_a if l1_target == "seg" else real_a
+    g = g + l1_lambda * abs_criterion(anchor, fake_a)
     if lg_lambda:
         w = seg_boundary_weight(seg_a)
         g = g + lg_lambda * gradloss_criterion(fake_a, real_a, w)

@@ -112,13 +112,15 @@ def build_sp_step_fn(cfg, data_axis: str = DATA_AXIS,
                                              deterministic=deterministic,
                                              axis_w=aw)
 
+        l1_anchor = seg_a if cfg.sggan_l1_target == "seg" else real_a
+
         def gen_loss_fn(gp):
             fake = gen_fwd_sp(gp, real_a)
             da_fake = spatial.discriminator_sp(state.disc_params, fake,
                                                mask_a, space_axis, cd,
                                                axis_w=aw)
             g = crit(da_fake, jnp.ones_like(da_fake))
-            g = g + cfg.L1_lambda * losses.abs_criterion(real_a, fake)
+            g = g + cfg.L1_lambda * losses.abs_criterion(l1_anchor, fake)
             if cfg.Lg_lambda:
                 g = g + cfg.Lg_lambda * spatial.gradloss_criterion_sp(
                     fake, real_a, w_a, space_axis, axis_w=aw)

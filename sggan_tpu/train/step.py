@@ -197,7 +197,8 @@ def build_step_fn(cfg, axis_name: Optional[str] = None):
             if cfg.loss_mode == "sggan":
                 loss = losses.gen_loss_sggan(
                     da_fake, real_a, fake, seg_a, use_lsgan=cfg.use_lsgan,
-                    l1_lambda=cfg.L1_lambda, lg_lambda=cfg.Lg_lambda)
+                    l1_lambda=cfg.L1_lambda, lg_lambda=cfg.Lg_lambda,
+                    l1_target=cfg.sggan_l1_target)
             elif cfg.loss_mode == "simple":
                 # the reference's dormant sce losses with the
                 # 1/ratio_gan2seg weighting (model.py:135-140)

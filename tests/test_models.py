@@ -163,3 +163,29 @@ def test_sggan_losses_finite_and_grad():
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
     assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
+
+
+def test_gen_loss_sggan_l1_target():
+    """sggan_l1_target switches the L1 anchor: 'real' reproduces the
+    dormant model.py:122 (L1 vs real_A), 'seg' anchors to seg_A; the
+    GAN and gradient-sensitive terms are unchanged."""
+    import jax
+    import jax.numpy as jnp
+    from sggan_tpu import losses
+    k = jax.random.PRNGKey(3)
+    da = jax.random.normal(k, (2, 4, 4, 1))
+    real = jax.random.uniform(jax.random.fold_in(k, 1), (2, 16, 16, 3))
+    fake = jax.random.uniform(jax.random.fold_in(k, 2), (2, 16, 16, 3))
+    seg = jax.random.uniform(jax.random.fold_in(k, 3), (2, 16, 16, 3))
+    kw = dict(use_lsgan=True, l1_lambda=10.0, lg_lambda=0.0)
+    l_real = losses.gen_loss_sggan(da, real, fake, seg, l1_target="real",
+                                   **kw)
+    l_seg = losses.gen_loss_sggan(da, real, fake, seg, l1_target="seg",
+                                  **kw)
+    gan = losses.mae_criterion(da, jnp.ones_like(da))
+    np.testing.assert_allclose(
+        float(l_real), float(gan + 10.0 * losses.abs_criterion(real, fake)),
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        float(l_seg), float(gan + 10.0 * losses.abs_criterion(seg, fake)),
+        rtol=1e-6)
