@@ -132,6 +132,11 @@ class Config:
     mesh_space: int = 1                # spatial-sharding axis size (H plane)
     mesh_space_w: int = 1              # second spatial axis (W plane; 2-D grid)
     donate: bool = True                # donate train-state buffers under jit
+    # Rematerialize generator stages in the backward pass (jax.checkpoint):
+    # trades ~one extra forward for not storing intra-stage activations,
+    # enabling native-resolution (2048x1024) training within one chip's
+    # HBM.  Semantic generators (resnet/unet) only.
+    remat: bool = False
     use_pallas: Optional[bool] = None  # None = auto (TPU only)
     prefetch: int = 2                  # host->device pipeline depth
     # Decoded-triplet RAM cache budget (MB); epochs >= 2 skip PNG decode
@@ -294,6 +299,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_space", type=int, default=d.mesh_space, help="spatial mesh axis size")
     p.add_argument("--mesh_space_w", type=int, default=d.mesh_space_w, help="second spatial mesh axis (W plane; 2-D shard grid)")
     _add_bool(p, "donate", d.donate, "donate train-state buffers under jit")
+    _add_bool(p, "remat", d.remat,
+              "rematerialize generator stages in backward (less HBM, "
+              "~1 extra forward) — for native-resolution training")
     p.add_argument("--decode_cache_mb", type=int, default=d.decode_cache_mb,
                    help="decoded-image RAM cache budget (MB), 0 disables")
     p.add_argument("--host_downscale", type=int, default=d.host_downscale,

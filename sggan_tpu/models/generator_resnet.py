@@ -56,8 +56,14 @@ def _res_block(b, x, cd, use_pallas):
 
 
 def apply(params, x, compute_dtype=None, use_pallas=None, rng=None,
-          deterministic=True):
-    """x: (N, H, W, C) with H, W divisible by 4. Returns float32 tanh image."""
+          deterministic=True, remat=False):
+    """x: (N, H, W, C) with H, W divisible by 4. Returns float32 tanh image.
+
+    remat: rematerialize each residual block in the backward pass
+    (jax.checkpoint) — trades one extra block forward for not storing
+    the block's four intermediate activations, the bulk of the
+    generator's live set.  Enables native-resolution (e.g. 2048x1024)
+    training within one chip's HBM."""
     cd = compute_dtype or x.dtype
     y = conv2d_reflect(params["c1"], x.astype(cd), cd)
     y = instance_norm(params["c1_in"], y, act="relu", use_pallas=use_pallas)
@@ -65,8 +71,10 @@ def apply(params, x, compute_dtype=None, use_pallas=None, rng=None,
     y = instance_norm(params["c2_in"], y, act="relu", use_pallas=use_pallas)
     y = conv2d(params["c3"], y, 2, "SAME", cd)
     y = instance_norm(params["c3_in"], y, act="relu", use_pallas=use_pallas)
+    block = jax.checkpoint(_res_block, static_argnums=(2, 3)) if remat \
+        else _res_block
     for i in range(N_BLOCKS):
-        y = _res_block(params[f"r{i + 1}"], y, cd, use_pallas)
+        y = block(params[f"r{i + 1}"], y, cd, use_pallas)
     y = conv2d_transpose(params["d1"], y, 2, "SAME", cd)
     y = instance_norm(params["d1_in"], y, act="relu", use_pallas=use_pallas)
     y = conv2d_transpose(params["d2"], y, 2, "SAME", cd)

@@ -53,29 +53,47 @@ def init(key, ngf: int = 64, input_nc: int = 3, output_nc: int = 3,
 
 
 def apply(params, x, compute_dtype=None, use_pallas=None, rng=None,
-          deterministic=True):
+          deterministic=True, remat=False):
+    """remat: rematerialize each encoder/decoder stage in the backward
+    pass (jax.checkpoint) — the additive skips must stay live either
+    way, but the intra-stage intermediates (conv outputs, IN moments)
+    are recomputed instead of stored, roughly halving the activation
+    live set at full resolution."""
     cd = compute_dtype or x.dtype
     y = x.astype(cd)
+
+    def enc_stage(pc, pin, v, act):
+        v = conv2d(pc, v, 1, "SAME", cd)
+        return instance_norm(pin, v, act=act, use_pallas=use_pallas)
+
+    def dec_stage(pd, pin, v, skip, k, i):
+        v = conv2d_transpose(pd, v, 1, "SAME", cd)
+        if i <= 3:
+            det = deterministic or k is None
+            v = dropout(k if not det else None, v, DROP_RATE,
+                        deterministic=det)
+        v = instance_norm(pin, v, use_pallas=use_pallas)
+        v = v + skip
+        if i in (3, 7):
+            v = relu(v)
+        return v
+
+    if remat:
+        enc_stage = jax.checkpoint(enc_stage, static_argnums=(3,))
+        dec_stage = jax.checkpoint(dec_stage, static_argnums=(5,))
 
     enc = []
     n_enc = len(_enc_channels(64))
     for i in range(1, n_enc + 1):
-        y = conv2d(params[f"e{i}"], y, 1, "SAME", cd)
         act = "relu" if i == n_enc else "leaky_relu"
-        y = instance_norm(params[f"e{i}_in"], y, act=act, use_pallas=use_pallas)
+        y = enc_stage(params[f"e{i}"], params[f"e{i}_in"], y, act)
         enc.append(y)
 
     drop_keys = (jax.random.split(rng, 3) if rng is not None else [None] * 3)
     # decoder: d_i adds encoder e_{8-i}
     for i in range(1, 8):
-        y = conv2d_transpose(params[f"d{i}"], y, 1, "SAME", cd)
-        if i <= 3:
-            det = deterministic or drop_keys[i - 1] is None
-            y = dropout(drop_keys[i - 1] if not det else None, y, DROP_RATE,
-                        deterministic=det)
-        y = instance_norm(params[f"d{i}_in"], y, use_pallas=use_pallas)
-        y = y + enc[7 - i]
-        if i in (3, 7):
-            y = relu(y)
+        k = drop_keys[i - 1] if i <= 3 else None
+        y = dec_stage(params[f"d{i}"], params[f"d{i}_in"], y, enc[7 - i],
+                      k, i)
     y = conv2d_transpose(params["d8"], y, 1, "SAME", cd)
     return tanh(y.astype(jnp.float32))

@@ -123,9 +123,11 @@ def _gen_fwd(cfg, params, bn, x, rng, deterministic):
             deterministic=deterministic, train=not deterministic, ngf=cfg.ngf)
         return y, new_bn
     if cfg.use_resnet:
-        return generator_resnet.apply(params, x, compute_dtype=cd), {}
+        return generator_resnet.apply(params, x, compute_dtype=cd,
+                                      remat=cfg.remat), {}
     return generator_unet.apply(params, x, compute_dtype=cd, rng=rng,
-                                deterministic=deterministic), {}
+                                deterministic=deterministic,
+                                remat=cfg.remat), {}
 
 
 def _disc_fwd(cfg, params, bn, img, mask_or_tar, train):

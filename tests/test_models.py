@@ -189,3 +189,29 @@ def test_gen_loss_sggan_l1_target():
     np.testing.assert_allclose(
         float(l_seg), float(gan + 10.0 * losses.abs_criterion(seg, fake)),
         rtol=1e-6)
+
+
+def test_remat_grads_match():
+    """--remat (jax.checkpoint on generator stages) must not change
+    numerics: losses and gradients equal the non-remat forward."""
+    import jax
+    import jax.numpy as jnp
+    from sggan_tpu.models import generator_resnet, generator_unet
+    k = jax.random.PRNGKey(5)
+    x = jax.random.uniform(jax.random.fold_in(k, 1), (1, 16, 16, 3))
+
+    for mod, kw in ((generator_resnet, {}),
+                    (generator_unet, dict(rng=jax.random.PRNGKey(7),
+                                          deterministic=False))):
+        p = mod.init(k, ngf=4)
+
+        def loss(params, remat):
+            return jnp.sum(jnp.square(
+                mod.apply(params, x, remat=remat, **kw)))
+
+        l0, g0 = jax.value_and_grad(lambda q: loss(q, False))(p)
+        l1, g1 = jax.value_and_grad(lambda q: loss(q, True))(p)
+        np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-5, atol=1e-6)
