@@ -229,6 +229,27 @@ class Config:
                              "drop --use_pix2pix")
         if self.scan_steps < 1:
             raise ValueError("scan_steps must be >= 1")
+        if self.sggan_l1_target not in ("real", "seg"):
+            # argparse enforces choices; programmatic Configs must not be
+            # able to fall through to the collapsing "real" anchor silently
+            raise ValueError(
+                f"sggan_l1_target={self.sggan_l1_target!r} — must be "
+                "'real' (faithful to model.py:122) or 'seg' (consistent "
+                "with the seg_A discriminator pairing)")
+        if self.loss_mode not in ("p2p", "sggan", "cycle", "simple"):
+            raise ValueError(f"loss_mode={self.loss_mode!r} — must be one "
+                             "of p2p/sggan/cycle/simple")
+        if self.dropout_mode not in ("intended", "keras_quirk"):
+            raise ValueError(f"dropout_mode={self.dropout_mode!r} — must "
+                             "be 'intended' or 'keras_quirk'")
+        if self.compat_fake_history and (
+                self.mesh_data > 1 or self.mesh_space > 1):
+            # the concat-to-10-then-reset history reproduces single-device
+            # training dynamics; a sharded pool would change them
+            raise ValueError(
+                "compat_fake_history reproduces a single-device training-"
+                "dynamics quirk (model.py:175-179); run it with "
+                "mesh_data=mesh_space=1")
         return self
 
 
@@ -310,7 +331,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="HBM budget for a device-resident training split, 0 disables")
     p.add_argument("--scan_steps", type=int, default=d.scan_steps,
                    help="train steps per device dispatch (lax.scan chunk) "
-                        "over the device-resident split; 1 = per-step dispatch")
+                        "over the device-resident split; 1 = per-step "
+                        "dispatch.  NOTE: with K>1, --print_freq output "
+                        "and --save_freq checkpoints land on K-step chunk "
+                        "boundaries rather than exact steps")
     p.add_argument("--profile_dir", default=d.profile_dir,
                    help="jax.profiler trace dir for a short train-step "
                         "window; empty disables")

@@ -235,9 +235,18 @@ def conv2d_reflect(params, x, compute_dtype=None):
     border-strip recomputes written in place.  Interior outputs are the
     same dot products either way; only the p-pixel frame is recomputed
     with the proper reflect sources (PERF.md round 2: the pad construction
-    cost a full HBM pass per call)."""
+    cost a full HBM pass per call).
+
+    Stride-1, odd-kernel only: SAME zero-padding coincides with
+    reflect_pad(k//2)+VALID interiors only then (TF SAME pads
+    asymmetrically for even k, and stride>1 changes which taps read the
+    border)."""
     cd = compute_dtype or x.dtype
     k = params["w"].shape[0]
+    assert k % 2 == 1, (
+        f"conv2d_reflect requires an odd kernel (got k={k}): TF-SAME pads "
+        "even kernels asymmetrically, which breaks the interior-equality "
+        "this fast path relies on")
     p = k // 2
     y = conv2d(params, x, 1, "SAME", cd)
     if p == 0:

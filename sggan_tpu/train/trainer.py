@@ -427,13 +427,16 @@ class Trainer:
         os.makedirs(cfg.test_dir, exist_ok=True)
         gts, preds, outputs = [], [], []
         # batch the eval (the reference runs one generator forward per
-        # file, model.py:323-347); chunks keep a static compiled shape
-        chunk = 8
+        # file, model.py:323-347); ragged tails are padded by repeating
+        # the last triplet so ONE shape is compiled per run (remote
+        # compiles cost 40-850 s here; padded outputs are sliced off)
+        chunk = min(8, len(files))
         for c0 in range(0, len(files), chunk):
             paths = files[c0:c0 + chunk]
             trips = [load_test_triplet(p, cache_mb=cfg.decode_cache_mb,
                                        max_hw=self.max_src_hw)
                      for p in paths]
+            trips += [trips[-1]] * (chunk - len(paths))
             img_u8 = np.stack([t[0] for t in trips])
             seg_u8 = np.stack([t[1] for t in trips])
             cls_u8 = np.stack([t[2] for t in trips])

@@ -21,6 +21,13 @@ def test_validate_ok():
           loss_mode="sggan", use_resnet=True), "mesh_space"),
     (dict(batch_size=3, mesh_data=4, use_augmentation=False), "mesh_data"),
     (dict(loss_mode="cycle", use_pix2pix=True), "pix2pix"),
+    (dict(sggan_l1_target="segs"), "sggan_l1_target"),
+    (dict(loss_mode="sgan"), "loss_mode"),
+    (dict(dropout_mode="keras"), "dropout_mode"),
+    (dict(compat_fake_history=True, mesh_data=2, batch_size=2),
+     "compat_fake_history"),
+    (dict(compat_fake_history=True, mesh_space=2, image_height=256),
+     "compat_fake_history"),
 ])
 def test_validate_raises(kw, msg):
     with pytest.raises(ValueError, match=msg):
