@@ -229,7 +229,12 @@ class DeviceDataset:
 
     def __init__(self, root: str, split: str,
                  max_hw: Optional[Tuple[int, int]] = None,
-                 cache_mb: int = 0, train_size: Optional[int] = None):
+                 cache_mb: int = 0, train_size: Optional[int] = None,
+                 sharding=None):
+        """sharding: optional jax.sharding.Sharding for the resident
+        arrays — the trainer replicates the split over its mesh so the
+        fused (gather+preprocess+shard_mapped step) program can read it
+        without a host round-trip."""
         import jax
         import jax.numpy as jnp
         files = Dataset(root, split).files()
@@ -239,9 +244,11 @@ class DeviceDataset:
         img, seg, cls = load_batch(files, split,
                                    cache_bytes=cache_mb << 20,
                                    max_hw=max_hw)
-        self.img = jax.device_put(img)
-        self.seg = jax.device_put(seg)
-        self.cls = jax.device_put(cls)
+        put = (lambda a: jax.device_put(a, sharding)) if sharding \
+            else jax.device_put
+        self.img = put(img)
+        self.seg = put(seg)
+        self.cls = put(cls)
         self.nbytes = img.nbytes + seg.nbytes + cls.nbytes
         self._take = jax.jit(
             lambda a, i: jnp.take(a, i, axis=0, mode="clip"))

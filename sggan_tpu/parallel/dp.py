@@ -31,21 +31,30 @@ def _state_spec() -> TrainState:
     )
 
 
-def make_dp_train_step(cfg, mesh: Mesh, donate: Optional[bool] = None):
-    """(state, batch, lr, rng) -> (state, metrics), batch sharded over
-    'data'.  Global batch size must divide by the data axis size."""
+def make_dp_step_body(cfg, mesh: Mesh):
+    """The shard_mapped but UN-jitted dp step body: (state, batch, lr,
+    rng) -> (state, metrics), batch sharded over 'data'.  Composable
+    inside a larger jitted program — the trainer's fused
+    gather+preprocess+step dispatch and its lax.scan chunking wrap this
+    body so mesh training keeps the single-dispatch pipeline."""
     if cfg.loss_mode == "cycle":
         from ..train.cycle import build_cycle_step_fn
         fn = build_cycle_step_fn(cfg, axis_name=DATA_AXIS)
     else:
         fn = build_step_fn(cfg, axis_name=DATA_AXIS)
     spec = _state_spec()
-    mapped = jax.shard_map(
+    return jax.shard_map(
         fn, mesh=mesh,
         in_specs=(spec, P(DATA_AXIS), P(), P()),
         out_specs=(spec, P()),
         check_vma=False,
     )
+
+
+def make_dp_train_step(cfg, mesh: Mesh, donate: Optional[bool] = None):
+    """(state, batch, lr, rng) -> (state, metrics), batch sharded over
+    'data'.  Global batch size must divide by the data axis size."""
+    mapped = make_dp_step_body(cfg, mesh)
     donate = cfg.donate if donate is None else donate
     return jax.jit(mapped, donate_argnums=(0,) if donate else ())
 

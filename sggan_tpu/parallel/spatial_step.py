@@ -262,16 +262,23 @@ def _sp_state_spec(mesh: Mesh) -> TrainState:
 BATCH_SPEC = P(DATA_AXIS, SPACE_AXIS)  # 1-D grid spec (kept for callers)
 
 
-def make_sp_train_step(cfg, mesh: Mesh, donate: Optional[bool] = None):
+def make_sp_step_body(cfg, mesh: Mesh):
+    """The shard_mapped but UN-jitted spatial step body — composable
+    inside a larger jitted program (the trainer's fused
+    gather+preprocess+step dispatch; see dp.make_dp_step_body)."""
     fn = build_sp_step_fn(
         cfg, wspace_axis=WSPACE_AXIS if _has_wspace(mesh) else None)
     spec = _sp_state_spec(mesh)
-    mapped = jax.shard_map(
+    return jax.shard_map(
         fn, mesh=mesh,
         in_specs=(spec, _batch_spec(mesh), P(), P()),
         out_specs=(spec, P()),
         check_vma=False,
     )
+
+
+def make_sp_train_step(cfg, mesh: Mesh, donate: Optional[bool] = None):
+    mapped = make_sp_step_body(cfg, mesh)
     donate = cfg.donate if donate is None else donate
     return jax.jit(mapped, donate_argnums=(0,) if donate else ())
 

@@ -47,6 +47,7 @@ class Trainer:
         self.key = jax.random.PRNGKey(cfg.data_seed)
         self.cycle = cfg.loss_mode == "cycle"
         self.mesh = None
+        self._mesh_kind = None
         self._shard_batch = lambda b: b
         n_data = max(cfg.mesh_data, 1)
         n_space = max(cfg.mesh_space, 1)
@@ -68,6 +69,7 @@ class Trainer:
                     "--use_pix2pix")
             self.mesh = make_mesh(data=n_data, space=n_space,
                                   wspace=n_wspace)
+            self._mesh_kind = "space"
             self.state = place_sp(
                 init_sp_state(cfg, self.key, n_data=n_data), self.mesh)
             self.step_fn = make_sp_train_step(cfg, self.mesh)
@@ -79,6 +81,7 @@ class Trainer:
             from ..parallel import make_dp_train_step, make_mesh, \
                 replicate, shard_batch
             self.mesh = make_mesh(data=n_data, space=1)
+            self._mesh_kind = "data"
             if self.cycle:
                 from .cycle import init_cycle_state
                 self.state = replicate(
@@ -149,10 +152,17 @@ class Trainer:
             est = sum(a.nbytes for a in probe) * n
             if est > cfg.device_dataset_mb << 20:
                 return None
+            sharding = None
+            if self.mesh is not None:
+                # replicate the split over the mesh so the fused
+                # gather+preprocess+step program can consume it directly
+                from jax.sharding import NamedSharding, PartitionSpec
+                sharding = NamedSharding(self.mesh, PartitionSpec())
             ds = DeviceDataset(self.root, "trainA",
                                max_hw=self.max_src_hw,
                                cache_mb=cfg.decode_cache_mb,
-                               train_size=cfg.train_size)
+                               train_size=cfg.train_size,
+                               sharding=sharding)
             print(f" [*] training split resident on device "
                   f"({ds.nbytes >> 20} MB, {len(ds)} triplets)")
             return ds
@@ -187,6 +197,28 @@ class Trainer:
 
         return make_batch
 
+    def _fused_step_body(self):
+        """The (possibly shard_mapped) un-jitted step body + the batch
+        sharding constraint for the fused programs.  With no mesh this is
+        the plain single-device body; on a dp mesh the shard_mapped dp
+        body with the batch sharded over `data`; on a spatial mesh the
+        shard_mapped spatial body with the batch sharded over
+        (data, space[, wspace]) — so the fused single-dispatch pipeline
+        extends to every mesh configuration."""
+        cfg = self.cfg
+        if self.mesh is None:
+            from .step import build_step_fn
+            return build_step_fn(cfg), None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if self._mesh_kind == "space":
+            from ..parallel.spatial_step import _batch_spec, make_sp_step_body
+            return (make_sp_step_body(cfg, self.mesh),
+                    NamedSharding(self.mesh, _batch_spec(self.mesh)))
+        from ..parallel.dp import make_dp_step_body
+        from ..parallel.mesh import DATA_AXIS
+        return (make_dp_step_body(cfg, self.mesh),
+                NamedSharding(self.mesh, P(DATA_AXIS)))
+
     def _make_fused_step(self, ds):
         """ONE compiled program per step: device-side batch gather from
         the HBM-resident split + fused preprocess + train step.  The
@@ -195,12 +227,13 @@ class Trainer:
         step is a single dispatch.  Numerically identical to the unfused
         path (same keys, same flag layout)."""
         cfg = self.cfg
-        from .step import build_step_fn
-        body = build_step_fn(cfg)
+        body, constraint = self._fused_step_body()
         make_batch = self._fused_batch_fn()
 
         def fn(state, img_all, seg_all, cls_all, idxs, k_pre, k_step, lr):
             batch = make_batch(img_all, seg_all, cls_all, idxs, k_pre)
+            if constraint is not None:
+                batch = jax.lax.with_sharding_constraint(batch, constraint)
             return body(state, batch, lr, k_step)
 
         return jax.jit(fn, donate_argnums=(0,) if cfg.donate else ())
@@ -212,10 +245,11 @@ class Trainer:
         costs milliseconds even on the fused path).  The PRNG key rides
         the scan carry and derives per-step keys by the same
         split(key, 3) sequence as the per-step path, so training matches
-        scan_steps=1 up to XLA scheduling noise (tested)."""
+        scan_steps=1 up to XLA scheduling noise (tested).  On a mesh the
+        scan body wraps the shard_mapped step (same batch constraint as
+        _make_fused_step)."""
         cfg = self.cfg
-        from .step import build_step_fn
-        body = build_step_fn(cfg)
+        body, constraint = self._fused_step_body()
         make_batch = self._fused_batch_fn()
 
         def fn(state, key, img_all, seg_all, cls_all, idxs, lr):
@@ -223,6 +257,9 @@ class Trainer:
                 st, ky = carry
                 ky, k_pre, k_step = jax.random.split(ky, 3)
                 batch = make_batch(img_all, seg_all, cls_all, ix, k_pre)
+                if constraint is not None:
+                    batch = jax.lax.with_sharding_constraint(batch,
+                                                             constraint)
                 st, m = body(st, batch, lr, k_step)
                 return (st, ky), m
 
@@ -313,7 +350,7 @@ class Trainer:
         self._timer = StepTimer()
         dev_ds = self._maybe_device_dataset()
         fused = fused_scan = None
-        if dev_ds is not None and self.mesh is None and not self.cycle:
+        if dev_ds is not None and not self.cycle:
             fused = self._make_fused_step(dev_ds)
             if cfg.scan_steps > 1:
                 fused_scan = self._make_fused_scan(dev_ds, cfg.scan_steps)

@@ -111,6 +111,43 @@ def test_scan_chunk_matches_per_step(ds, tmp_path):
         np.testing.assert_allclose(a, b, atol=1e-2)
 
 
+def test_fused_scan_on_dp_mesh_matches_host_path(ds, tmp_path):
+    """VERDICT r2 item 4: the fused gather+preprocess+step dispatch (and
+    its lax.scan chunking) must extend to data-parallel meshes — mesh
+    training used to regress to per-step host preprocessing.  Same seed
+    and key sequence on a 2-way data mesh: the scan-fused path must match
+    the host-iterator dp path."""
+    losses = {}
+    for name, kw in (("fused_scan", dict(device_dataset_mb=2048,
+                                         scan_steps=2)),
+                     ("host", dict(device_dataset_mb=0, scan_steps=1))):
+        cfg = base_cfg(ds, tmp_path / name, loss_mode="sggan",
+                       use_resnet=True, mesh_data=2, batch_size=2, **kw)
+        t = Trainer(cfg)
+        assert t.mesh is not None
+        res = t.train()
+        losses[name] = res["gen_loss"]
+    np.testing.assert_allclose(losses["fused_scan"], losses["host"],
+                               rtol=1e-3)
+
+
+def test_fused_scan_on_spatial_mesh(ds, tmp_path):
+    """The fused scan dispatch on a (data x space) mesh: finite losses
+    and matching the host-path spatial trainer at the same seed."""
+    losses = {}
+    for name, kw in (("fused_scan", dict(device_dataset_mb=2048,
+                                         scan_steps=2)),
+                     ("host", dict(device_dataset_mb=0, scan_steps=1))):
+        cfg = base_cfg(ds, tmp_path / f"sp_{name}", loss_mode="sggan",
+                       use_resnet=True, mesh_data=2, mesh_space=2,
+                       batch_size=2, **kw)
+        res = Trainer(cfg).train()
+        losses[name] = res["gen_loss"]
+    assert np.isfinite(losses["fused_scan"])
+    np.testing.assert_allclose(losses["fused_scan"], losses["host"],
+                               rtol=1e-3)
+
+
 def test_scan_chunk_remainder(ds, tmp_path):
     """nb % scan_steps != 0: the epoch tail runs through the single-step
     fused program; losses stay finite and every step is counted."""
