@@ -139,6 +139,43 @@ def bench():
             print(f"scan-chunk bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
+    # cycle north-star config (BASELINE config #3): two generators + two
+    # semantic discriminators, GAN + cycle + identity + gradloss — stderr
+    # metric so PERF.md can carry an img/s number for the cycle step.
+    try:
+        from sggan_tpu.train.cycle import init_cycle_state, \
+            make_cycle_train_step
+        bc = 8 if on_tpu else 1
+        cfg = Config(image_height=h, image_width=w, batch_size=bc,
+                     loss_mode="cycle", use_resnet=True, segment_class=34,
+                     compute_dtype="bfloat16" if on_tpu else "float32",
+                     max_size=50, donate=True)
+        key = jax.random.PRNGKey(0)
+        state = init_cycle_state(cfg, key)
+        step = make_cycle_train_step(cfg)
+        hm, wm = cfg.mask_hw
+        mk = lambda k: jax.random.uniform(jax.random.PRNGKey(k),
+                                          (bc, h, w, 3))
+        mmask = lambda k: jax.nn.one_hot(jax.random.randint(
+            jax.random.PRNGKey(k), (bc, hm, wm), 0, 34), 34)
+        batch = {"real_a": mk(0), "seg_a": mk(1), "mask_a": mmask(2),
+                 "real_b": mk(3), "seg_b": mk(4), "mask_b": mmask(5)}
+        lr = jnp.float32(2e-4)
+        for i in range(3):
+            state, m = step(state, batch, lr, jax.random.PRNGKey(i))
+        float(m["gen_loss"])
+        csteps = max(steps // 2, 2)
+        t0 = time.perf_counter()
+        for i in range(csteps):
+            state, m = step(state, batch, lr, jax.random.PRNGKey(i))
+        float(m["gen_loss"])
+        dt = (time.perf_counter() - t0) / csteps
+        print(f"cycle step batch {bc}: {bc / dt:.2f} img/s "
+              f"({dt * 1e3:.2f} ms/step)", file=sys.stderr)
+    except Exception as e:
+        print(f"cycle bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     print(json.dumps({
         "metric": "sggan_train_step_images_per_sec_per_chip_256x512",
         "value": round(best, 2),

@@ -141,21 +141,32 @@ def train_iterator(root: str, batch_size: int, seed: int,
                    train_size: Optional[int] = None,
                    prefetch: int = 2, split: str = "trainA",
                    cache_mb: int = 0,
-                   max_src_hw: Optional[Tuple[int, int]] = None
+                   max_src_hw: Optional[Tuple[int, int]] = None,
+                   process_index: int = 0, process_count: int = 1
                    ) -> Iterator[dict]:
     """One epoch of decoded uint8 batches, shuffled per epoch
     (model.py:220-221), prefetched on a background thread.
 
     Yields {"img": (B', sh, sw, 3) u8, "seg": ..., "cls": (B', sh, sw) u8,
-            "aug": (B',) bool} where B' = 2*batch_size when augmenting
-    (plain + to-be-augmented duplicate, model.py:240-244)."""
+            "aug": (B',) bool, "rows": (B',) i32} where B' = 2*batch_size
+    when augmenting (plain + to-be-augmented duplicate, model.py:240-244).
+
+    Multi-host: `batch_size` is the PER-PROCESS batch; every process
+    shuffles the same global file list (seeded identically) and decodes
+    only its contiguous slice of each global batch, so process slices
+    concatenated in process order reconstruct exactly the single-process
+    global batch.  "rows" carries each sample's position in the global
+    effective batch ([plain_0..plain_{gB-1}, aug_0..aug_{gB-1}]) for
+    preprocess_train's global-consistent per-sample randomness."""
     ds = Dataset(root, split)
     files = ds.files()
     rng = np.random.default_rng(seed + epoch)
     rng.shuffle(files)
     if train_size is not None:
         files = files[: int(train_size)]
-    n_batches = len(files) // batch_size
+    gbs = batch_size * process_count  # global batch of files
+    n_batches = len(files) // gbs
+    lo = process_index * batch_size
 
     q: queue.Queue = queue.Queue(maxsize=prefetch)
     stop = threading.Event()
@@ -165,19 +176,23 @@ def train_iterator(root: str, batch_size: int, seed: int,
             for b in range(n_batches):
                 if stop.is_set():
                     return
-                paths = files[b * batch_size:(b + 1) * batch_size]
+                paths = files[b * gbs + lo: b * gbs + lo + batch_size]
                 img, seg, cls = load_batch(paths, split,
                                            cache_bytes=cache_mb << 20,
                                            max_hw=max_src_hw)
+                plain_rows = lo + np.arange(batch_size, dtype=np.int32)
                 if use_augmentation:
                     img = np.concatenate([img, img])
                     seg = np.concatenate([seg, seg])
                     cls = np.concatenate([cls, cls])
                     aug = np.concatenate([np.zeros(batch_size, bool),
                                           np.ones(batch_size, bool)])
+                    rows = np.concatenate([plain_rows, gbs + plain_rows])
                 else:
                     aug = np.zeros(batch_size, bool)
-                q.put({"img": img, "seg": seg, "cls": cls, "aug": aug})
+                    rows = plain_rows
+                q.put({"img": img, "seg": seg, "cls": cls, "aug": aug,
+                       "rows": rows})
         finally:
             q.put(None)
 

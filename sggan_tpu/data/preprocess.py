@@ -54,16 +54,27 @@ def _one_hot_mask(cls_u8, mask_hw, n_class):
 
 
 @functools.partial(jax.jit, static_argnames=("out_hw", "mask_hw", "n_class",
-                                             "photometric"))
+                                             "photometric", "global_b"))
 def preprocess_train(img_u8, seg_u8, cls_u8, key, aug_flags, *,
-                     out_hw, mask_hw, n_class, photometric: bool = False):
+                     out_hw, mask_hw, n_class, photometric: bool = False,
+                     global_b: int = 0, sample_rows=None):
     """img_u8/seg_u8: (B, sh, sw, 3) uint8; cls_u8: (B, sh, sw) uint8;
     aug_flags: (B,) bool — which samples get the imgaug-equivalent warp
     (the reference emits plain+augmented pairs per item, model.py:235-244).
     photometric additionally applies the seq1 analog (augment.py) to the
     photo of aug-flagged samples.
+
+    Multi-host: per-sample randomness (augment keys, flip draws) is drawn
+    for a GLOBAL batch of `global_b` rows and indexed by `sample_rows`
+    (the batch's positions in the global batch), so each process
+    preprocessing only its local shard produces bit-identical samples to
+    a single process preprocessing the whole batch.  Defaults
+    (global_b=B, rows=arange) reproduce the single-process derivation
+    exactly — same split count, same bernoulli shape.
     Returns {"real_a", "seg_a", "mask_a"} float32, images in [0, 1]."""
     b, sh, sw = img_u8.shape[:3]
+    gb = global_b or b
+    rows = jnp.arange(b) if sample_rows is None else sample_rows
     img = img_u8.astype(jnp.float32) / 255.0
     seg = seg_u8.astype(jnp.float32) / 255.0
 
@@ -78,7 +89,7 @@ def preprocess_train(img_u8, seg_u8, cls_u8, key, aug_flags, *,
     seg = _resize(seg, out_hw)
 
     k_aug, k_flip = jax.random.split(key)
-    aug_keys = jax.random.split(k_aug, b)
+    aug_keys = jax.random.split(k_aug, gb)[rows]
 
     def one(im, sg, k, flag):
         k_geo, k_pho = jax.random.split(k)
@@ -99,7 +110,8 @@ def preprocess_train(img_u8, seg_u8, cls_u8, key, aug_flags, *,
     mask = _one_hot_mask(cls_u8, mask_hw, n_class)
 
     # joint random fliplr — utils.py:201-204
-    flip = jax.random.bernoulli(k_flip, 0.5, (b,))[:, None, None, None]
+    flip = jax.random.bernoulli(k_flip, 0.5, (gb,))[rows][
+        :, None, None, None]
     img = jnp.where(flip, img[:, :, ::-1], img)
     seg = jnp.where(flip, seg[:, :, ::-1], seg)
     mask = jnp.where(flip, mask[:, :, ::-1], mask)

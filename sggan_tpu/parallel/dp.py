@@ -60,8 +60,18 @@ def make_dp_train_step(cfg, mesh: Mesh, donate: Optional[bool] = None):
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Place a host batch sharded over the data axis."""
+    """Place a host batch sharded over the data axis.
+
+    Single-controller: a plain sharded device_put.  Multi-process: each
+    process holds only its local slice of the global batch (the loader's
+    per-process file sharding), so the global array is assembled with
+    `make_array_from_process_local_data` — the per-process shards become
+    the `data`-axis shards without any cross-host transfer."""
     sh = NamedSharding(mesh, P(DATA_AXIS))
+    if jax.process_count() > 1:
+        import numpy as np
+        return {k: jax.make_array_from_process_local_data(
+            sh, np.asarray(v)) for k, v in batch.items()}
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 

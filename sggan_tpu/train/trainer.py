@@ -49,6 +49,32 @@ class Trainer:
         self.mesh = None
         self._mesh_kind = None
         self._shard_batch = lambda b: b
+        # ---- multi-host (jax.distributed initialized by the caller) ----
+        self.n_proc = jax.process_count()
+        self.pid = jax.process_index()
+        self.is_coord = self.pid == 0
+        self.local_bs = cfg.batch_size
+        if self.n_proc > 1:
+            if self.cycle:
+                raise NotImplementedError(
+                    "multi-host cycle training is not supported yet")
+            if cfg.mesh_space > 1:
+                raise NotImplementedError(
+                    "multi-host spatial sharding is not supported yet; "
+                    "use mesh_data over the global device set")
+            if cfg.mesh_data <= 1:
+                raise ValueError(
+                    "multi-host training needs --mesh_data > 1 (the data "
+                    "axis spans hosts)")
+            if cfg.batch_size % self.n_proc:
+                raise ValueError(
+                    f"batch_size={cfg.batch_size} must divide by "
+                    f"process_count={self.n_proc} (each process feeds "
+                    "its contiguous slice of the global batch)")
+            if cfg.continue_train:
+                raise NotImplementedError(
+                    "multi-host --continue_train is not supported yet")
+            self.local_bs = cfg.batch_size // self.n_proc
         n_data = max(cfg.mesh_data, 1)
         n_space = max(cfg.mesh_space, 1)
         n_wspace = max(cfg.mesh_space_w, 1)
@@ -129,9 +155,14 @@ class Trainer:
         x = np.asarray(images01, np.float32)
         if self.cfg.test_uint8_input:
             x = np.round(x * 255.0)
-        return np.asarray(self._gen_jit(self.state.gen_params,
-                                        self.state.gen_bn,
-                                        jnp.asarray(x)))
+        gp, gbn = self.state.gen_params, self.state.gen_bn
+        if self.n_proc > 1:
+            # params are replicated global arrays spanning hosts; pull
+            # the (fully-replicated) values to host so the coordinator
+            # can run eval locally without a cross-process program
+            gp = jax.tree.map(np.asarray, gp)
+            gbn = jax.tree.map(np.asarray, gbn)
+        return np.asarray(self._gen_jit(gp, gbn, jnp.asarray(x)))
 
     def _maybe_device_dataset(self):
         """Build the HBM-resident training split (loader.DeviceDataset)
@@ -139,7 +170,9 @@ class Trainer:
         back to the host iterator for cycle mode (two splits), oversized
         or shape-heterogeneous datasets."""
         cfg = self.cfg
-        if not cfg.device_dataset_mb or self.cycle:
+        if not cfg.device_dataset_mb or self.cycle or self.n_proc > 1:
+            # multi-host feeds through the per-process host iterator
+            # (each process decodes only its slice of the global batch)
             return None
         try:
             files = Dataset(self.root, "trainA").files()
@@ -316,9 +349,25 @@ class Trainer:
             global_step += kc
             if cfg.save_freq and \
                     prev // cfg.save_freq != global_step // cfg.save_freq:
-                ckpt.save(self.state, cfg.checkpoint_dir, cfg.dataset_dir,
-                          epoch)
+                self._save(epoch)
         return global_step
+
+    def _save(self, epoch: int):
+        """Checkpoint save; multi-host: every process resherds the pool
+        buffer to fully-replicated (one collective) and materializes the
+        state on host, then ALL processes enter ckpt.save — orbax's
+        multi-process barriers need everyone, and its primary-host
+        machinery gates the actual file writes to process 0."""
+        cfg = self.cfg
+        state = self.state
+        if self.n_proc > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+            rep = jax.jit(lambda x: x, out_shardings=NamedSharding(
+                self.mesh, PartitionSpec()))
+            buf = rep(state.pool.buffer)
+            state = state._replace(pool=state.pool._replace(buffer=buf))
+            state = jax.tree.map(np.asarray, state)
+        ckpt.save(state, cfg.checkpoint_dir, cfg.dataset_dir, epoch)
 
     # -------------------------------------------------------------- train
     def train(self) -> dict:
@@ -326,7 +375,7 @@ class Trainer:
         logdir = os.path.join(
             cfg.log_dir,
             datetime.datetime.now().strftime("%Y%m%d-%H%M%S"), "train")
-        writer = SummaryWriter(logdir)
+        writer = SummaryWriter(logdir) if self.is_coord else None
         start_time = time.time()
 
         if cfg.continue_train:
@@ -371,12 +420,14 @@ class Trainer:
                         use_augmentation=cfg.use_augmentation, epoch=epoch)
                 else:
                     it = train_iterator(
-                        self.root, cfg.batch_size, cfg.data_seed,
+                        self.root, self.local_bs, cfg.data_seed,
                         use_augmentation=cfg.use_augmentation,
                         epoch=epoch, train_size=cfg.train_size,
                         prefetch=cfg.prefetch,
                         cache_mb=cfg.decode_cache_mb,
-                        max_src_hw=self.max_src_hw)
+                        max_src_hw=self.max_src_hw,
+                        process_index=self.pid,
+                        process_count=self.n_proc)
                 if self.cycle:
                     it_b = train_iterator(
                         self.root, cfg.batch_size, cfg.data_seed + 7919,
@@ -398,8 +449,17 @@ class Trainer:
                         batch = dict(batch, real_b=bb["real_a"],
                                      seg_b=bb["seg_a"], mask_b=bb["mask_a"])
                     else:
+                        kw = {}
+                        if self.n_proc > 1:
+                            # global-consistent per-sample randomness:
+                            # this process's rows of the global batch
+                            kw = dict(
+                                global_b=cfg.batch_size
+                                * (2 if cfg.use_augmentation else 1),
+                                sample_rows=jnp.asarray(raw["rows"]))
                         batch = self.preprocess(raw["img"], raw["seg"],
-                                                raw["cls"], k_pre, raw["aug"])
+                                                raw["cls"], k_pre,
+                                                raw["aug"], **kw)
                     batch = self._shard_batch(batch)
                     self.state, m = self.step_fn(self.state, batch, lr,
                                                  k_step)
@@ -408,7 +468,7 @@ class Trainer:
                     self._timer.mark(int(batch["real_a"].shape[0]))
                     if self._prof is not None:
                         self._prof.tick()
-                    if idx % cfg.print_freq == 0:
+                    if idx % cfg.print_freq == 0 and self.is_coord:
                         print("Epoch: [%2d] [%4d] time: %4.4f "
                               "Gen_Loss: %f Disc_Loss: %f" % (
                                   epoch, idx, time.time() - start_time,
@@ -416,39 +476,41 @@ class Trainer:
                                   float(m["disc_loss"])))
                     global_step += 1
                     if cfg.save_freq and global_step % cfg.save_freq == 0:
-                        ckpt.save(self.state, cfg.checkpoint_dir,
-                                  cfg.dataset_dir, epoch)
+                        self._save(epoch)
 
                 # throughput before eval; sync on the last loss so the
                 # interval covers real execution
                 rate = self._timer.read(d_losses[-1]) if d_losses else None
 
                 fake_concat, score = self.test_during_train(epoch, writer)
-                if fake_concat is not None:
+                if fake_concat is not None and writer is not None:
                     writer.image(f"Segmentation Epoch {epoch}", fake_concat,
                                  step=epoch)
+                g_mean = None
                 if g_losses:
                     # fused-scan chunks append (k,) metric vectors, the
                     # per-step paths scalars — concat covers both
                     cat = lambda xs: jnp.concatenate(
                         [jnp.atleast_1d(x) for x in xs])
                     g_mean = float(jnp.mean(cat(g_losses)))
-                    writer.scalar("Generator Loss", g_mean, epoch)
-                    writer.scalar("Discriminator Loss",
-                                  float(jnp.mean(cat(d_losses))), epoch)
-                    if rate is not None:
-                        writer.scalar("Images/sec",
-                                      rate["images_per_sec"], epoch)
+                    if writer is not None:
+                        writer.scalar("Generator Loss", g_mean, epoch)
+                        writer.scalar("Discriminator Loss",
+                                      float(jnp.mean(cat(d_losses))), epoch)
+                        if rate is not None:
+                            writer.scalar("Images/sec",
+                                          rate["images_per_sec"], epoch)
                 last = {"epoch": epoch, "score": score,
-                        "gen_loss": g_mean if g_losses else None}
+                        "gen_loss": g_mean}
         except KeyboardInterrupt:
-            ckpt.save(self.state, cfg.checkpoint_dir, cfg.dataset_dir, epoch)
+            self._save(epoch)
             raise
         finally:
             if self._prof is not None:
                 self._prof.close()
-            ckpt.save(self.state, cfg.checkpoint_dir, cfg.dataset_dir, epoch)
-            writer.close()
+            self._save(epoch)
+            if writer is not None:
+                writer.close()
         return last
 
     # --------------------------------------------------------------- eval
@@ -458,6 +520,10 @@ class Trainer:
         generator forward, fake PNG dump, seg-vs-fake argmax labels,
         aggregate confusion-matrix scores, TB scalars."""
         cfg = self.cfg
+        if not self.is_coord:
+            # eval/PNG/TB writes are coordinator-only; params are
+            # replicated so no other process needs to participate
+            return None, None
         files = test_files(self.root)
         if not files:
             return None, None

@@ -50,6 +50,11 @@ def save(state: TrainState, checkpoint_dir: str, dataset_dir: str,
     """Save generator and discriminator trees under
     <checkpoint_dir>/<dataset>/{gen,disc}/cp-NNNN (reference layout,
     model.py:455-467) plus trainer state under train/cp-NNNN."""
+    import jax
+    multi = jax.process_count() > 1
+    primary = jax.process_index() == 0
+    if multi:
+        from jax.experimental import multihost_utils
     root = _ckpt_root(checkpoint_dir, dataset_dir)
     ckptr = ocp.StandardCheckpointer()
     parts = {
@@ -62,17 +67,26 @@ def save(state: TrainState, checkpoint_dir: str, dataset_dir: str,
     }
     for name, tree in parts.items():
         d = os.path.join(root, name)
-        os.makedirs(d, exist_ok=True)
         path = os.path.join(d, f"cp-{epoch:04d}")
-        if os.path.exists(path):
-            shutil.rmtree(path)
+        # directory surgery is primary-only (a shared filesystem would
+        # race); ALL processes then enter orbax's save — its internal
+        # barriers require every process to participate, and it gates
+        # the actual file writes to the primary host
+        if primary:
+            os.makedirs(d, exist_ok=True)
+            if os.path.exists(path):
+                shutil.rmtree(path)
+        if multi:
+            multihost_utils.sync_global_devices(
+                f"ckpt_pre_{name}_{epoch}")
         ckptr.save(path, tree)
-        # prune by epoch threshold — the async save above may not be
-        # listed yet, so counting directory entries under-prunes
-        for old in _steps(d):
-            if old <= epoch - MAX_TO_KEEP:
-                shutil.rmtree(os.path.join(d, f"cp-{old:04d}"),
-                              ignore_errors=True)
+        if primary:
+            # prune by epoch threshold — the async save above may not be
+            # listed yet, so counting directory entries under-prunes
+            for old in _steps(d):
+                if old <= epoch - MAX_TO_KEEP:
+                    shutil.rmtree(os.path.join(d, f"cp-{old:04d}"),
+                                  ignore_errors=True)
     ckptr.wait_until_finished()
 
 

@@ -46,3 +46,77 @@ def test_two_process_distributed_job():
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert "OK allreduce 48.0" in out, out
         assert "OK dp_step" in out, out
+
+
+def _tiny_dataset(root, n_train=8, n_test=1):
+    import numpy as np
+    from PIL import Image
+    rng = np.random.default_rng(5)
+    for split, n in [("trainA", n_train), ("testA", n_test)]:
+        for sub in ["", "_seg", "_seg_class"]:
+            os.makedirs(os.path.join(root, f"{split}{sub}"), exist_ok=True)
+        for i in range(n):
+            name = f"d{i}.png"
+            Image.fromarray(rng.integers(0, 255, (32, 32, 3), "uint8")
+                            ).save(os.path.join(root, split, name))
+            Image.fromarray(rng.integers(0, 255, (32, 32, 3), "uint8")
+                            ).save(os.path.join(root, f"{split}_seg", name))
+            Image.fromarray(rng.integers(0, 8, (32, 32), "uint8"),
+                            mode="L").save(
+                os.path.join(root, f"{split}_seg_class", name))
+
+
+def test_two_process_trainer_matches_single_process(tmp_path):
+    """VERDICT r2 item 5: Trainer.train across 2 processes — per-process
+    file sharding, make_array_from_process_local_data batch assembly,
+    coordinator-gated writes — must produce the SAME losses as a
+    single-process run over the identical global batch (same seed, same
+    per-sample augmentation keys via the global-row machinery)."""
+    import numpy as np
+
+    ds = str(tmp_path / "m")
+    _tiny_dataset(ds)
+
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "_dist_trainer_worker.py"),
+             str(pid), str(port), ds, str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env)
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    losses = []
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        line = [l for l in out.splitlines() if l.startswith("OK trainer")]
+        assert line, out
+        losses.append(float(line[0].split()[-1]))
+    assert losses[0] == losses[1]  # replicated metrics agree across hosts
+
+    # single-process reference: same config on a 4-device local mesh
+    from sggan_tpu.config import Config
+    from sggan_tpu.train.trainer import Trainer
+    cfg = Config(dataset_dir=ds, epoch=1, batch_size=4,
+                 image_height=32, image_width=32, ngf=4, ndf=4,
+                 segment_class=8, compute_dtype="float32",
+                 loss_mode="sggan", use_resnet=True, max_size=2,
+                 mesh_data=4, save_freq=0, print_freq=100,
+                 device_dataset_mb=0,
+                 checkpoint_dir=str(tmp_path / "ckpt_sp"),
+                 sample_dir=str(tmp_path / "sample_sp"),
+                 test_dir=str(tmp_path / "test_sp"),
+                 log_dir=str(tmp_path / "logs_sp"))
+    res = Trainer(cfg).train()
+    np.testing.assert_allclose(losses[0], res["gen_loss"], rtol=1e-4)
