@@ -139,6 +139,36 @@ def bench():
             print(f"scan-chunk bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
+    # deployment-path inference latency (BASELINE metric "ms/image"):
+    # the AOT-exported (jax.export roundtrip) resnet generator — exactly
+    # what serve.py executes — at batch 1 (latency) and 16 (throughput).
+    try:
+        from sggan_tpu.models import generator_resnet
+        from sggan_tpu.utils import export as gexport
+        params = generator_resnet.init(jax.random.PRNGKey(0))
+        cd = jnp.bfloat16 if on_tpu else jnp.float32
+        for bi in ((1, 16) if on_tpu else (1,)):
+            blob = gexport.export_generator(
+                generator_resnet.apply, params, (h, w), batch_size=bi,
+                compute_dtype=cd)
+            fn = gexport.load_generator(blob)
+            x = jax.random.uniform(jax.random.PRNGKey(1), (bi, h, w, 3))
+            for _ in range(3):
+                y = fn(x)
+            float(jnp.sum(y))
+            it = 32 if on_tpu else 3
+            t0 = time.perf_counter()
+            for _ in range(it):
+                y = fn(x)
+            float(jnp.sum(y))
+            dt = (time.perf_counter() - t0) / it
+            print(f"inference (AOT artifact) batch {bi}: "
+                  f"{dt * 1e3 / bi:.2f} ms/image, {bi / dt:.1f} img/s "
+                  f"({dt * 1e3:.2f} ms/call)", file=sys.stderr)
+    except Exception as e:
+        print(f"inference bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     # cycle north-star config (BASELINE config #3): two generators + two
     # semantic discriminators, GAN + cycle + identity + gradloss — stderr
     # metric so PERF.md can carry an img/s number for the cycle step.
