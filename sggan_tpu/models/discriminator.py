@@ -74,16 +74,17 @@ def apply(params, x, mask, compute_dtype=None, use_pallas=None,
     cd = compute_dtype or x.dtype
     y = x.astype(cd)
     y = leaky_relu(conv2d(params["h0"], y, 2, "SAME", cd))
-    y = conv2d(params["h1"], y, 2, "SAME", cd)
+    # bias=False on every IN-followed conv — exact elision (ops/layers.py)
+    y = conv2d(params["h1"], y, 2, "SAME", cd, bias=False)
     y = instance_norm(params["h1_in"], y, act="leaky_relu", use_pallas=use_pallas)
-    y = conv2d(params["h2"], y, 2, "SAME", cd)
+    y = conv2d(params["h2"], y, 2, "SAME", cd, bias=False)
     y = instance_norm(params["h2_in"], y, act="leaky_relu", use_pallas=use_pallas)
-    y = conv2d(params["h3"], y, 1, "SAME", cd)
+    y = conv2d(params["h3"], y, 1, "SAME", cd, bias=False)
     y = instance_norm(params["h3_in"], y, act="leaky_relu", use_pallas=use_pallas)
 
     if head == "global":
         for i, s in enumerate(_valid_chain(y.shape[1], y.shape[2])):
-            y = conv2d(params[f"v{i}"], y, s, "VALID", cd)
+            y = conv2d(params[f"v{i}"], y, s, "VALID", cd, bias=False)
             y = instance_norm(params[f"v{i}_in"], y, act="leaky_relu",
                               use_pallas=use_pallas)
 

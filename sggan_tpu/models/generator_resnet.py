@@ -47,10 +47,11 @@ def init(key, ngf: int = 64, input_nc: int = 3, output_nc: int = 3,
 
 def _res_block(b, x, cd, use_pallas):
     # conv2d_reflect == reflect_pad(1) + VALID conv without materializing
-    # the padded activation (ops/layers.py)
-    y = conv2d_reflect(b["conv1"], x, cd)
+    # the padded activation (ops/layers.py); bias=False everywhere an IN
+    # follows — exact elision, see ops/layers.py conv2d docstring
+    y = conv2d_reflect(b["conv1"], x, cd, bias=False)
     y = instance_norm(b["in1"], y, act="relu", use_pallas=use_pallas)
-    y = conv2d_reflect(b["conv2"], y, cd)
+    y = conv2d_reflect(b["conv2"], y, cd, bias=False)
     y = instance_norm(b["in2"], y, use_pallas=use_pallas)
     return y + x
 
@@ -65,19 +66,19 @@ def apply(params, x, compute_dtype=None, use_pallas=None, rng=None,
     generator's live set.  Enables native-resolution (e.g. 2048x1024)
     training within one chip's HBM."""
     cd = compute_dtype or x.dtype
-    y = conv2d_reflect(params["c1"], x.astype(cd), cd)
+    y = conv2d_reflect(params["c1"], x.astype(cd), cd, bias=False)
     y = instance_norm(params["c1_in"], y, act="relu", use_pallas=use_pallas)
-    y = conv2d(params["c2"], y, 2, "SAME", cd)
+    y = conv2d(params["c2"], y, 2, "SAME", cd, bias=False)
     y = instance_norm(params["c2_in"], y, act="relu", use_pallas=use_pallas)
-    y = conv2d(params["c3"], y, 2, "SAME", cd)
+    y = conv2d(params["c3"], y, 2, "SAME", cd, bias=False)
     y = instance_norm(params["c3_in"], y, act="relu", use_pallas=use_pallas)
     block = jax.checkpoint(_res_block, static_argnums=(2, 3)) if remat \
         else _res_block
     for i in range(N_BLOCKS):
         y = block(params[f"r{i + 1}"], y, cd, use_pallas)
-    y = conv2d_transpose(params["d1"], y, 2, "SAME", cd)
+    y = conv2d_transpose(params["d1"], y, 2, "SAME", cd, bias=False)
     y = instance_norm(params["d1_in"], y, act="relu", use_pallas=use_pallas)
-    y = conv2d_transpose(params["d2"], y, 2, "SAME", cd)
+    y = conv2d_transpose(params["d2"], y, 2, "SAME", cd, bias=False)
     y = instance_norm(params["d2_in"], y, act="relu", use_pallas=use_pallas)
     y = reflect_pad(y, 3)
     # space-to-depth form of the 64->3 head: same math, ~16x less MXU

@@ -63,11 +63,15 @@ def apply(params, x, compute_dtype=None, use_pallas=None, rng=None,
     y = x.astype(cd)
 
     def enc_stage(pc, pin, v, act):
-        v = conv2d(pc, v, 1, "SAME", cd)
+        # bias=False: IN follows directly — exact elision (ops/layers.py)
+        v = conv2d(pc, v, 1, "SAME", cd, bias=False)
         return instance_norm(pin, v, act=act, use_pallas=use_pallas)
 
     def dec_stage(pd, pin, v, skip, k, i):
-        v = conv2d_transpose(pd, v, 1, "SAME", cd)
+        # d1-d3 keep the bias: dropout sits between convT and IN
+        # (module.py:170-181) and an elementwise-masked shift is NOT
+        # spatially constant, so IN does not remove it
+        v = conv2d_transpose(pd, v, 1, "SAME", cd, bias=(i <= 3))
         if i <= 3:
             det = deterministic or k is None
             v = dropout(k if not det else None, v, DROP_RATE,

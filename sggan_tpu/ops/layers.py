@@ -75,16 +75,24 @@ def conv2d_init(key, kh: int, kw: int, cin: int, cout: int,
 
 
 def conv2d(params, x, stride: Stride = 1, padding: str = "SAME",
-           compute_dtype=None):
+           compute_dtype=None, bias: bool = True):
     """NHWC conv with TF 'SAME'/'VALID' padding semantics.  bf16 operands
     still accumulate in fp32 on the MXU (XLA's default for bf16 convs);
-    the output stays in the compute dtype to keep HBM traffic low."""
+    the output stays in the compute dtype to keep HBM traffic low.
+
+    bias=False skips the bias add WITHOUT touching params.  Models pass
+    it for convs whose output feeds instance norm directly: IN subtracts
+    the per-(sample, channel) spatial mean, so a per-channel constant
+    shift is removed EXACTLY (for any bias value, incl. TF-checkpoint
+    ones) and d(loss)/d(bias) is exactly 0 — the add is a dead full-HBM
+    elementwise pass (~6 ms/step at the bench config; PERF.md round 3).
+    The parameter stays in the tree for checkpoint layout parity."""
     cd = compute_dtype or x.dtype
     w = params["w"]
     y = lax.conv_general_dilated(
         x.astype(cd), w.astype(cd), _pair(stride), padding,
         dimension_numbers=_DIMS)
-    if "b" in params:
+    if bias and "b" in params:
         y = y + params["b"].astype(cd)
     return y
 
@@ -104,17 +112,20 @@ def conv2d_transpose_init(key, kh: int, kw: int, cin: int, cout: int,
 
 
 def conv2d_transpose(params, x, stride: Stride = 1, padding: str = "SAME",
-                     compute_dtype=None):
+                     compute_dtype=None, bias: bool = True):
     """TF ``Conv2DTranspose`` semantics: the transpose (gradient) of a
     forward conv with the given stride/padding.  With 'SAME' the output
     spatial size is exactly ``in * stride`` (reference relies on this for
-    its u128/u64 upsampling, module.py:254-258)."""
+    its u128/u64 upsampling, module.py:254-258).
+
+    bias=False: see conv2d — exact elision of the dead bias add when the
+    output feeds instance norm directly."""
     cd = compute_dtype or x.dtype
     w = params["w"]  # (kh, kw, cout, cin) == forward-conv HWIO with I=cout
     y = lax.conv_transpose(
         x.astype(cd), w.astype(cd), _pair(stride), padding,
         dimension_numbers=_DIMS, transpose_kernel=True)
-    if "b" in params:
+    if bias and "b" in params:
         y = y + params["b"].astype(cd)
     return y
 
@@ -227,7 +238,7 @@ def reflect_pad(x, pad: Union[int, Sequence[Tuple[int, int]]]):
     return _reflect_pad_cv(x, cfg)
 
 
-def conv2d_reflect(params, x, compute_dtype=None):
+def conv2d_reflect(params, x, compute_dtype=None, bias: bool = True):
     """``conv2d(params, reflect_pad(x, k//2), 1, "VALID")`` — the
     reference's reflect-padded conv pattern (module.py:210-213, 229-231) —
     computed WITHOUT materializing the padded activation: a zero-pad SAME
@@ -248,7 +259,7 @@ def conv2d_reflect(params, x, compute_dtype=None):
         "even kernels asymmetrically, which breaks the interior-equality "
         "this fast path relies on")
     p = k // 2
-    y = conv2d(params, x, 1, "SAME", cd)
+    y = conv2d(params, x, 1, "SAME", cd, bias=bias)
     if p == 0:
         return y
     xcd = x.astype(cd)
@@ -265,8 +276,12 @@ def conv2d_reflect(params, x, compute_dtype=None):
                               axis=2)
     right_in = jnp.concatenate([xcd[:, :, -2 * p:],
                                 flip_w(xcd[:, :, -p - 1:-1])], axis=2)
-    y = y.at[:, :p].set(conv2d(params, wpad(top_in), 1, "VALID", cd))
-    y = y.at[:, -p:].set(conv2d(params, wpad(bot_in), 1, "VALID", cd))
-    y = y.at[:, p:h - p, :p].set(conv2d(params, left_in, 1, "VALID", cd))
-    y = y.at[:, p:h - p, -p:].set(conv2d(params, right_in, 1, "VALID", cd))
+    y = y.at[:, :p].set(conv2d(params, wpad(top_in), 1, "VALID", cd,
+                               bias=bias))
+    y = y.at[:, -p:].set(conv2d(params, wpad(bot_in), 1, "VALID", cd,
+                                bias=bias))
+    y = y.at[:, p:h - p, :p].set(conv2d(params, left_in, 1, "VALID", cd,
+                                        bias=bias))
+    y = y.at[:, p:h - p, -p:].set(conv2d(params, right_in, 1, "VALID", cd,
+                                         bias=bias))
     return y

@@ -90,7 +90,7 @@ def _tf_same_pads(size: int, k: int, s: int):
 # ------------------------------------------------------------- sharded ops
 
 def conv2d_sp(params, x, stride: int, axis_name: str, compute_dtype=None,
-              axis_w: Optional[str] = None):
+              axis_w: Optional[str] = None, bias: bool = True):
     """TF-SAME conv on an H-sharded (optionally H x W-sharded) block.
     Requires local H % stride == 0 (true when the global H is a multiple of
     stride * axis size); same for W when axis_w is set."""
@@ -109,13 +109,13 @@ def conv2d_sp(params, x, stride: int, axis_name: str, compute_dtype=None,
     y = lax.conv_general_dilated(
         xh, w.astype(cd), (stride, stride),
         [(0, 0), wpad], dimension_numbers=_DIMS)
-    if "b" in params:
+    if bias and "b" in params:
         y = y + params["b"].astype(cd)
     return y
 
 
 def conv2d_valid_after_reflect_sp(params, x_padded, axis_name: str,
-                                  compute_dtype=None):
+                                  compute_dtype=None, bias: bool = True):
     """VALID conv consuming rows provided by reflect_pad_sp (H already
     extended by (k-1)/2 per side locally)."""
     cd = compute_dtype or x_padded.dtype
@@ -123,13 +123,14 @@ def conv2d_valid_after_reflect_sp(params, x_padded, axis_name: str,
     y = lax.conv_general_dilated(
         x_padded.astype(cd), w.astype(cd), (1, 1), "VALID",
         dimension_numbers=_DIMS)
-    if "b" in params:
+    if bias and "b" in params:
         y = y + params["b"].astype(cd)
     return y
 
 
 def conv2d_transpose_sp(params, x, stride: int, axis_name: str,
-                        compute_dtype=None, axis_w: Optional[str] = None):
+                        compute_dtype=None, axis_w: Optional[str] = None,
+                        bias: bool = True):
     """TF Conv2DTranspose (SAME) on an H-sharded block: extend with one
     real row per side, transpose-conv, crop stride rows per halo row.
 
@@ -158,7 +159,7 @@ def conv2d_transpose_sp(params, x, stride: int, axis_name: str,
     y = y[:, stride:-stride]
     if axis_w is not None:
         y = y[:, :, stride:-stride]
-    if "b" in params:
+    if bias and "b" in params:
         y = y + params["b"].astype(cd)
     return y
 
@@ -338,24 +339,31 @@ def generator_resnet_sp(params, x, axis_name: str, compute_dtype=None,
     aw = axis_w
     y = x.astype(cd)
     y = reflect_pad_sp(y, 3, axis_name, axis_w=aw)
-    y = conv2d_valid_after_reflect_sp(params["c1"], y, axis_name, cd)
+    # bias=False on IN-followed convs — exact elision, mirroring the
+    # single-device nets (see ops/layers.py conv2d docstring)
+    y = conv2d_valid_after_reflect_sp(params["c1"], y, axis_name, cd,
+                                      bias=False)
     y = instance_norm_sp(params["c1_in"], y, axis_name, act="relu", axis_w=aw)
-    y = conv2d_sp(params["c2"], y, 2, axis_name, cd, axis_w=aw)
+    y = conv2d_sp(params["c2"], y, 2, axis_name, cd, axis_w=aw, bias=False)
     y = instance_norm_sp(params["c2_in"], y, axis_name, act="relu", axis_w=aw)
-    y = conv2d_sp(params["c3"], y, 2, axis_name, cd, axis_w=aw)
+    y = conv2d_sp(params["c3"], y, 2, axis_name, cd, axis_w=aw, bias=False)
     y = instance_norm_sp(params["c3_in"], y, axis_name, act="relu", axis_w=aw)
     for i in range(N_BLOCKS):
         b = params[f"r{i + 1}"]
         z = reflect_pad_sp(y, 1, axis_name, axis_w=aw)
-        z = conv2d_valid_after_reflect_sp(b["conv1"], z, axis_name, cd)
+        z = conv2d_valid_after_reflect_sp(b["conv1"], z, axis_name, cd,
+                                          bias=False)
         z = instance_norm_sp(b["in1"], z, axis_name, act="relu", axis_w=aw)
         z = reflect_pad_sp(z, 1, axis_name, axis_w=aw)
-        z = conv2d_valid_after_reflect_sp(b["conv2"], z, axis_name, cd)
+        z = conv2d_valid_after_reflect_sp(b["conv2"], z, axis_name, cd,
+                                          bias=False)
         z = instance_norm_sp(b["in2"], z, axis_name, axis_w=aw)
         y = z + y
-    y = conv2d_transpose_sp(params["d1"], y, 2, axis_name, cd, axis_w=aw)
+    y = conv2d_transpose_sp(params["d1"], y, 2, axis_name, cd, axis_w=aw,
+                            bias=False)
     y = instance_norm_sp(params["d1_in"], y, axis_name, act="relu", axis_w=aw)
-    y = conv2d_transpose_sp(params["d2"], y, 2, axis_name, cd, axis_w=aw)
+    y = conv2d_transpose_sp(params["d2"], y, 2, axis_name, cd, axis_w=aw,
+                            bias=False)
     y = instance_norm_sp(params["d2_in"], y, axis_name, act="relu", axis_w=aw)
     y = reflect_pad_sp(y, 3, axis_name, axis_w=aw)
     y = conv2d_valid_after_reflect_sp(params["out"], y, axis_name, cd)
@@ -377,7 +385,8 @@ def generator_unet_sp(params, x, axis_name: str, compute_dtype=None,
     y = x.astype(cd)
     enc = []
     for i in range(1, 9):
-        y = conv2d_sp(params[f"e{i}"], y, 1, axis_name, cd, axis_w=aw)
+        y = conv2d_sp(params[f"e{i}"], y, 1, axis_name, cd, axis_w=aw,
+                      bias=False)
         act = "relu" if i == 8 else "leaky_relu"
         y = instance_norm_sp(params[f"e{i}_in"], y, axis_name, act=act,
                              axis_w=aw)
@@ -389,8 +398,10 @@ def generator_unet_sp(params, x, axis_name: str, compute_dtype=None,
             rng = jax.random.fold_in(rng, lax.axis_index(aw))
         drop_keys = jax.random.split(rng, 3)
     for i in range(1, 8):
+        # d1-d3 keep the bias (dropout between convT and IN, see the
+        # single-device net); d4-d7 feed IN directly -> exact elision
         y = conv2d_transpose_sp(params[f"d{i}"], y, 1, axis_name, cd,
-                                axis_w=aw)
+                                axis_w=aw, bias=(i <= 3))
         if i <= 3 and use_drop:
             y = dropout(drop_keys[i - 1], y, 0.5, deterministic=False)
         y = instance_norm_sp(params[f"d{i}_in"], y, axis_name, axis_w=aw)
@@ -410,13 +421,13 @@ def discriminator_sp(params, x, mask, axis_name: str, compute_dtype=None,
     aw = axis_w
     y = x.astype(cd)
     y = leaky_relu(conv2d_sp(params["h0"], y, 2, axis_name, cd, axis_w=aw))
-    y = conv2d_sp(params["h1"], y, 2, axis_name, cd, axis_w=aw)
+    y = conv2d_sp(params["h1"], y, 2, axis_name, cd, axis_w=aw, bias=False)
     y = instance_norm_sp(params["h1_in"], y, axis_name, act="leaky_relu",
                          axis_w=aw)
-    y = conv2d_sp(params["h2"], y, 2, axis_name, cd, axis_w=aw)
+    y = conv2d_sp(params["h2"], y, 2, axis_name, cd, axis_w=aw, bias=False)
     y = instance_norm_sp(params["h2_in"], y, axis_name, act="leaky_relu",
                          axis_w=aw)
-    y = conv2d_sp(params["h3"], y, 1, axis_name, cd, axis_w=aw)
+    y = conv2d_sp(params["h3"], y, 1, axis_name, cd, axis_w=aw, bias=False)
     y = instance_norm_sp(params["h3_in"], y, axis_name, act="leaky_relu",
                          axis_w=aw)
     y = conv2d_sp(params["h4"], y, 1, axis_name, cd,
