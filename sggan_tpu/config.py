@@ -164,6 +164,13 @@ class Config:
     # programs).  Saves/prints happen at chunk granularity.
     # 1 = one dispatch per step.
     scan_steps: int = 8
+    # EMA decay for a shadow copy of the generator params (0 disables).
+    # A standard GAN stabilization lever with no reference counterpart:
+    # training updates the raw generator, eval/test/serving read the
+    # exponentially-averaged one.  One cheap fused elementwise pass per
+    # step; supported for the single-direction step (p2p/sggan/simple),
+    # single-device or dp mesh.
+    gen_ema: float = 0.0
     # When set, the trainer traces a short window of train dispatches
     # with jax.profiler into this directory (first dispatch excluded so
     # compile stays out of the trace) and logs a per-epoch Images/sec
@@ -242,6 +249,13 @@ class Config:
         if self.dropout_mode not in ("intended", "keras_quirk"):
             raise ValueError(f"dropout_mode={self.dropout_mode!r} — must "
                              "be 'intended' or 'keras_quirk'")
+        if self.gen_ema:
+            if not (0.0 < self.gen_ema < 1.0):
+                raise ValueError(f"gen_ema={self.gen_ema} must be in (0,1)")
+            if self.loss_mode == "cycle" or self.mesh_space > 1:
+                raise ValueError(
+                    "gen_ema supports the single-direction step "
+                    "(p2p/sggan/simple) on a single device or dp mesh")
         if self.compat_fake_history and (
                 self.mesh_data > 1 or self.mesh_space > 1):
             # the concat-to-10-then-reset history reproduces single-device
@@ -335,6 +349,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "dispatch.  NOTE: with K>1, --print_freq output "
                         "and --save_freq checkpoints land on K-step chunk "
                         "boundaries rather than exact steps")
+    p.add_argument("--gen_ema", type=float, default=d.gen_ema,
+                   help="EMA decay for a shadow generator used at "
+                        "eval/test/serving; 0 disables")
     p.add_argument("--profile_dir", default=d.profile_dir,
                    help="jax.profiler trace dir for a short train-step "
                         "window; empty disables")

@@ -27,7 +27,7 @@ def _state_spec() -> TrainState:
         gen_params=P(), gen_bn=P(), disc_params=P(), disc_bn=P(),
         g_opt=P(), d_opt=P(),
         pool=PoolState(buffer=P(DATA_AXIS), count=P()),
-        step=P(),
+        step=P(), ema=P(),
     )
 
 

@@ -45,6 +45,10 @@ class TrainState(NamedTuple):
     d_opt: Any
     pool: PoolState
     step: jnp.ndarray      # scalar int32
+    # EMA shadow of gen_params (None when --gen_ema 0): a TPU-cheap GAN
+    # stabilizer with no reference counterpart — eval/test/serving read
+    # the averaged generator while training updates the raw one.
+    ema: Any = None
 
 
 def _tx(beta1: float):
@@ -63,6 +67,19 @@ def lr_schedule(cfg, epoch: int) -> float:
 
 def _dtype(cfg):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
+def _ema_update(cfg, ema, gen_params):
+    """One fused elementwise pass: ema <- d*ema + (1-d)*params.  The
+    update runs on params AFTER the pmean'd-gradient Adam step, so under
+    dp the shadow stays replica-identical."""
+    if ema is None or not cfg.gen_ema:
+        return ema
+    d = jnp.float32(cfg.gen_ema)
+    return jax.tree.map(
+        lambda e, p: (d * e.astype(jnp.float32)
+                      + (1.0 - d) * p.astype(jnp.float32)).astype(e.dtype),
+        ema, gen_params)
 
 
 def _compat_hist(cfg) -> bool:
@@ -111,8 +128,10 @@ def init_state(cfg, key, n_data: int = 1) -> TrainState:
                                       "mask": (hm, wm, cfg.segment_class)})
     else:
         pool = pool_init(pool_slots, (h, w, cfg.output_nc))
+    # real device copies — aliased buffers would be donated twice
+    ema = jax.tree.map(jnp.copy, gp) if cfg.gen_ema > 0 else None
     return TrainState(gp, gbn, dp, dbn, tx.init(gp), tx.init(dp), pool,
-                      jnp.zeros((), jnp.int32))
+                      jnp.zeros((), jnp.int32), ema)
 
 
 def _gen_fwd(cfg, params, bn, x, rng, deterministic):
@@ -238,7 +257,8 @@ def build_step_fn(cfg, axis_name: Optional[str] = None):
             disc_params = optax.apply_updates(
                 state.disc_params, jax.tree.map(lambda u: -lr * u, d_upd))
             new_state = TrainState(gen_params, new_gbn, disc_params, new_dbn,
-                                   g_opt, d_opt, new_pool, state.step + 1)
+                                   g_opt, d_opt, new_pool, state.step + 1,
+                                   _ema_update(cfg, state.ema, gen_params))
             return new_state, {"gen_loss": g_loss, "disc_loss": d_loss}
 
         fake_sg = jax.lax.stop_gradient(fake)
@@ -299,7 +319,8 @@ def build_step_fn(cfg, axis_name: Optional[str] = None):
         disc_params = optax.apply_updates(state.disc_params, d_upd)
 
         new_state = TrainState(gen_params, new_gbn, disc_params, new_dbn,
-                               g_opt, d_opt, new_pool, state.step + 1)
+                               g_opt, d_opt, new_pool, state.step + 1,
+                               _ema_update(cfg, state.ema, gen_params))
         metrics = {"gen_loss": g_loss, "disc_loss": d_loss}
         return new_state, metrics
 

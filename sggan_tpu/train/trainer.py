@@ -155,7 +155,10 @@ class Trainer:
         x = np.asarray(images01, np.float32)
         if self.cfg.test_uint8_input:
             x = np.round(x * 255.0)
-        gp, gbn = self.state.gen_params, self.state.gen_bn
+        # eval/test/serving read the EMA shadow when --gen_ema is on
+        gp = self.state.ema if self.state.ema is not None \
+            else self.state.gen_params
+        gbn = self.state.gen_bn
         if self.n_proc > 1:
             # params are replicated global arrays spanning hosts; pull
             # the (fully-replicated) values to host so the coordinator

@@ -65,6 +65,8 @@ def save(state: TrainState, checkpoint_dir: str, dataset_dir: str,
         "train": {"pool_buffer": state.pool.buffer,
                   "pool_count": state.pool.count, "step": state.step},
     }
+    if state.ema is not None:
+        parts["gen"]["ema"] = state.ema
     for name, tree in parts.items():
         d = os.path.join(root, name)
         path = os.path.join(d, f"cp-{epoch:04d}")
@@ -112,8 +114,11 @@ def load(template: TrainState, checkpoint_dir: str, dataset_dir: str,
         return ckptr.restore(os.path.join(root, name, f"cp-{epoch:04d}"),
                              tree)
 
-    gen = restore("gen", {"params": template.gen_params,
-                          "bn": template.gen_bn, "opt": template.g_opt})
+    gen_tmpl = {"params": template.gen_params, "bn": template.gen_bn,
+                "opt": template.g_opt}
+    if template.ema is not None:
+        gen_tmpl["ema"] = template.ema
+    gen = restore("gen", gen_tmpl)
     disc = restore("disc", {"params": template.disc_params,
                             "bn": template.disc_bn, "opt": template.d_opt})
     tr = restore("train", {"pool_buffer": template.pool.buffer,
@@ -122,4 +127,5 @@ def load(template: TrainState, checkpoint_dir: str, dataset_dir: str,
     pool = template.pool._replace(buffer=tr["pool_buffer"],
                                   count=tr["pool_count"])
     return TrainState(gen["params"], gen["bn"], disc["params"], disc["bn"],
-                      gen["opt"], disc["opt"], pool, tr["step"])
+                      gen["opt"], disc["opt"], pool, tr["step"],
+                      gen.get("ema"))
