@@ -48,7 +48,11 @@ def export_artifact(cfg: Config, path: str) -> bool:
     loaded = restored is not None
     if loaded:
         trainer.state = restored
-    gen_params, gen_bn = trainer.state.gen_params, trainer.state.gen_bn
+    # bake the EMA shadow when trained with --gen_ema, matching what
+    # Trainer.generate serves at eval time
+    gen_params = (trainer.state.ema if trainer.state.ema is not None
+                  else trainer.state.gen_params)
+    gen_bn = trainer.state.gen_bn
 
     def fwd(x):  # x: (1, H, W, 3) float32 in [0, 1]
         if cfg.test_uint8_input:
