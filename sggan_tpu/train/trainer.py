@@ -71,9 +71,6 @@ class Trainer:
                     f"batch_size={cfg.batch_size} must divide by "
                     f"process_count={self.n_proc} (each process feeds "
                     "its contiguous slice of the global batch)")
-            if cfg.continue_train:
-                raise NotImplementedError(
-                    "multi-host --continue_train is not supported yet")
             self.local_bs = cfg.batch_size // self.n_proc
         n_data = max(cfg.mesh_data, 1)
         n_space = max(cfg.mesh_space, 1)
@@ -382,11 +379,31 @@ class Trainer:
         start_time = time.time()
 
         if cfg.continue_train:
-            restored = ckpt.load(self.state, cfg.checkpoint_dir,
-                                 cfg.dataset_dir)
+            if self.n_proc > 1:
+                # restore into a fresh HOST-LOCAL template (every process
+                # reads the shared checkpoint identically), then re-place
+                # on the global mesh — orbax cannot restore directly into
+                # non-addressable multi-host arrays from a host-written
+                # checkpoint
+                from ..parallel import replicate
+                template = init_state(cfg, jax.random.PRNGKey(0),
+                                      n_data=cfg.mesh_data)
+                restored = ckpt.load(template, cfg.checkpoint_dir,
+                                     cfg.dataset_dir)
+                if restored is not None:
+                    # host-materialize first: device_put would otherwise
+                    # see committed local-device arrays and attempt a
+                    # cross-host transfer instead of placing local shards
+                    restored = jax.tree.map(np.asarray, restored)
+                    self.state = replicate(restored, self.mesh)
+            else:
+                restored = ckpt.load(self.state, cfg.checkpoint_dir,
+                                     cfg.dataset_dir)
+                if restored is not None:
+                    self.state = restored
             if restored is not None:
-                self.state = restored
-                print(" [*] Load SUCCESS")
+                if self.is_coord:
+                    print(" [*] Load SUCCESS")
             else:
                 print(" [!] Load failed...")
         else:

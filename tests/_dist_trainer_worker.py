@@ -61,6 +61,17 @@ def main():
     if res["score"] is not None:
         print(f"OK eval iou {res['score']['Mean IoU']:.6f}", flush=True)
 
+    # multi-host resume: restore via a host template, re-place on the
+    # global mesh, continue for another epoch
+    import numpy as np
+    steps_before = int(np.asarray(t.state.step))
+    t2 = Trainer(cfg.replace(continue_train=True))
+    res2 = t2.train()
+    steps_after = int(np.asarray(t2.state.step))
+    assert steps_after == 2 * steps_before, (steps_before, steps_after)
+    print(f"OK resume steps {steps_before}->{steps_after} "
+          f"gen_loss {res2['gen_loss']:.6f}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -103,6 +103,7 @@ def test_two_process_trainer_matches_single_process(tmp_path):
         line = [l for l in out.splitlines() if l.startswith("OK trainer")]
         assert line, out
         losses.append(float(line[0].split()[-1]))
+        assert any(l.startswith("OK resume") for l in out.splitlines()), out
     assert losses[0] == losses[1]  # replicated metrics agree across hosts
 
     # single-process reference: same config on a 4-device local mesh
