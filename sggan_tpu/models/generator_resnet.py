@@ -80,12 +80,16 @@ def apply(params, x, compute_dtype=None, use_pallas=None, rng=None,
     y = instance_norm(params["d1_in"], y, act="relu", use_pallas=use_pallas)
     y = conv2d_transpose(params["d2"], y, 2, "SAME", cd, bias=False)
     y = instance_norm(params["d2_in"], y, act="relu", use_pallas=use_pallas)
-    y = reflect_pad(y, 3)
     # space-to-depth form of the 64->3 head: same math, ~16x less MXU
-    # lane waste at N=3 (ops/s2d.py; PERF.md round 2)
+    # lane waste at N=3; reflect handled pad-free (strided conv padding +
+    # border strips — no padded activation in fwd OR bwd; ops/s2d.py)
     from ..ops import s2d
-    if s2d.applicable(y, params["out"]["w"]):
-        y = s2d.conv2d_valid_s2d(params["out"], y, compute_dtype=cd)
+    if s2d.applicable_reflect(y, params["out"]["w"]):
+        y = s2d.conv2d_reflect_s2d(params["out"], y, compute_dtype=cd)
     else:
-        y = conv2d(params["out"], y, 1, "VALID", cd)
+        y = reflect_pad(y, 3)
+        if s2d.applicable(y, params["out"]["w"]):
+            y = s2d.conv2d_valid_s2d(params["out"], y, compute_dtype=cd)
+        else:
+            y = conv2d(params["out"], y, 1, "VALID", cd)
     return tanh(y.astype(jnp.float32))

@@ -78,3 +78,57 @@ def conv2d_valid_s2d(params, x_padded, r: int = 4, compute_dtype=None):
     if "b" in params:
         y = y + params["b"].astype(cd)
     return y
+
+
+def applicable_reflect(x, w, r: int = 4) -> bool:
+    """conv2d_reflect_s2d applicability on the UNPADDED input."""
+    k, _, _, cout = w.shape
+    h, wd = x.shape[1], x.shape[2]
+    return (k % 2 == 1 and cout * r * r <= 128 and h % r == 0
+            and wd % r == 0 and h > 2 * k and wd > 2 * k)
+
+
+def conv2d_reflect_s2d(params, x, r: int = 4, compute_dtype=None):
+    """``conv2d_valid_s2d(params, reflect_pad(x, k//2))`` WITHOUT the
+    padded activation: the pad rides the strided conv's own zero padding
+    (interior outputs never read it), and the k//2-pixel output frame is
+    recomputed with proper reflect sources by tiny direct strip convs —
+    the strided analogue of ops/layers.conv2d_reflect.
+
+    Why: with the pre-padded form, the conv's BACKWARD materializes the
+    gradient at the padded shape and then slices/folds it (a dgrad conv
+    at (H+2p, W+2p) + full-tensor slice + mirror strips — ~5.7 ms/step
+    at the bench config, PERF.md round-3 trace).  With padding folded
+    into the conv, autodiff emits the dgrad at the true shape and only
+    the strip fixes touch the borders."""
+    from .layers import conv2d
+    cd = compute_dtype or x.dtype
+    w = params["w"]
+    k, _, _, cout = w.shape
+    p = k // 2
+    yb = lax.conv_general_dilated(
+        x.astype(cd), _s2d_weights(w, r).astype(cd), (r, r),
+        [(p, p), (p, p)], dimension_numbers=_DIMS)
+    y = _d2s(yb, r, cout)
+    if "b" in params:
+        y = y + params["b"].astype(cd)
+    # border strips: identical construction to conv2d_reflect
+    xcd = x.astype(cd)
+    h = x.shape[1]
+    flip_h = lambda t: t[:, ::-1]
+    flip_w = lambda t: t[:, :, ::-1]
+    wpad = lambda t: jnp.concatenate(
+        [flip_w(t[:, :, 1:p + 1]), t, flip_w(t[:, :, -p - 1:-1])], axis=2)
+    top_in = jnp.concatenate([flip_h(xcd[:, 1:p + 1]), xcd[:, :2 * p]],
+                             axis=1)
+    bot_in = jnp.concatenate([xcd[:, -2 * p:], flip_h(xcd[:, -p - 1:-1])],
+                             axis=1)
+    left_in = jnp.concatenate([flip_w(xcd[:, :, 1:p + 1]), xcd[:, :, :2 * p]],
+                              axis=2)
+    right_in = jnp.concatenate([xcd[:, :, -2 * p:],
+                                flip_w(xcd[:, :, -p - 1:-1])], axis=2)
+    y = y.at[:, :p].set(conv2d(params, wpad(top_in), 1, "VALID", cd))
+    y = y.at[:, -p:].set(conv2d(params, wpad(bot_in), 1, "VALID", cd))
+    y = y.at[:, p:h - p, :p].set(conv2d(params, left_in, 1, "VALID", cd))
+    y = y.at[:, p:h - p, -p:].set(conv2d(params, right_in, 1, "VALID", cd))
+    return y

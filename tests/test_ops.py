@@ -255,3 +255,33 @@ def test_conv2d_valid_s2d_matches_direct():
         s2d.conv2d_valid_s2d({"w": w, "b": p["b"]}, x))))(p["w"])
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_conv2d_reflect_s2d_matches_padded_form():
+    """conv2d_reflect_s2d (pad folded into the strided conv + border
+    strips) must equal reflect_pad + direct VALID conv, values AND
+    gradients — the generator head's pad-free fast path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sggan_tpu.ops import conv2d, conv2d_init, reflect_pad
+    from sggan_tpu.ops import s2d
+    k = jax.random.PRNGKey(3)
+    p = conv2d_init(k, 7, 7, 8, 3)
+    x = jax.random.uniform(jax.random.fold_in(k, 1), (2, 24, 40, 8))
+    assert s2d.applicable_reflect(x, p["w"])
+    ref = conv2d(p, reflect_pad(x, 3), 1, "VALID")
+    got = s2d.conv2d_reflect_s2d(p, x)
+    assert got.shape == ref.shape == x.shape[:3] + (3,)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+    # grads w.r.t. BOTH kernel and input (the border strips contribute)
+    f_ref = lambda w, xx: jnp.sum(jnp.square(
+        conv2d({"w": w, "b": p["b"]}, reflect_pad(xx, 3), 1, "VALID")))
+    f_got = lambda w, xx: jnp.sum(jnp.square(
+        s2d.conv2d_reflect_s2d({"w": w, "b": p["b"]}, xx)))
+    for i in (0, 1):
+        g1 = jax.grad(f_ref, argnums=i)(p["w"], x)
+        g2 = jax.grad(f_got, argnums=i)(p["w"], x)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                                   rtol=1e-3, atol=1e-4)
