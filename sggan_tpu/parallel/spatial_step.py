@@ -293,5 +293,15 @@ def place_sp(state: TrainState, mesh: Mesh) -> TrainState:
 
 
 def shard_sp_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place a host batch sharded (B over data, H over space, W over
+    wspace).  Multi-process: each process holds its full-resolution rows
+    of the global batch (the trainer requires the space grid to divide
+    the local device count, so every host owns whole data rows) and the
+    H/W split happens here, locally, via
+    `make_array_from_process_local_data` — no cross-host transfer."""
     sh = NamedSharding(mesh, _batch_spec(mesh))
+    if jax.process_count() > 1:
+        import numpy as np
+        return {k: jax.make_array_from_process_local_data(
+            sh, np.asarray(v)) for k, v in batch.items()}
     return {k: jax.device_put(v, sh) for k, v in batch.items()}

@@ -55,13 +55,19 @@ class Trainer:
         self.is_coord = self.pid == 0
         self.local_bs = cfg.batch_size
         if self.n_proc > 1:
-            if self.cycle:
-                raise NotImplementedError(
-                    "multi-host cycle training is not supported yet")
             if cfg.mesh_space > 1:
-                raise NotImplementedError(
-                    "multi-host spatial sharding is not supported yet; "
-                    "use mesh_data over the global device set")
+                # every host must own whole data rows of the
+                # (data x space[ x wspace]) grid: the space shards of one
+                # sample then live on one host's devices and each process
+                # feeds full-resolution rows of the global batch (the
+                # H/W split happens at device_put, not in the loader)
+                sp_grid = max(cfg.mesh_space, 1) * max(cfg.mesh_space_w, 1)
+                if jax.local_device_count() % sp_grid:
+                    raise ValueError(
+                        f"multi-host spatial sharding needs the space "
+                        f"grid ({sp_grid}) to divide the local device "
+                        f"count ({jax.local_device_count()}) so every "
+                        "host owns whole data rows of the mesh")
             if cfg.mesh_data <= 1:
                 raise ValueError(
                     "multi-host training needs --mesh_data > 1 (the data "
@@ -385,9 +391,18 @@ class Trainer:
                 # on the global mesh — orbax cannot restore directly into
                 # non-addressable multi-host arrays from a host-written
                 # checkpoint
-                from ..parallel import replicate
-                template = init_state(cfg, jax.random.PRNGKey(0),
-                                      n_data=cfg.mesh_data)
+                k0 = jax.random.PRNGKey(0)
+                if self._mesh_kind == "space":
+                    from ..parallel.spatial_step import (init_sp_state,
+                                                         place_sp)
+                    template = init_sp_state(cfg, k0,
+                                             n_data=cfg.mesh_data)
+                elif self.cycle:
+                    from .cycle import init_cycle_state
+                    template = init_cycle_state(cfg, k0,
+                                                n_data=cfg.mesh_data)
+                else:
+                    template = init_state(cfg, k0, n_data=cfg.mesh_data)
                 restored = ckpt.load(template, cfg.checkpoint_dir,
                                      cfg.dataset_dir)
                 if restored is not None:
@@ -395,7 +410,11 @@ class Trainer:
                     # see committed local-device arrays and attempt a
                     # cross-host transfer instead of placing local shards
                     restored = jax.tree.map(np.asarray, restored)
-                    self.state = replicate(restored, self.mesh)
+                    if self._mesh_kind == "space":
+                        self.state = place_sp(restored, self.mesh)
+                    else:
+                        from ..parallel import replicate
+                        self.state = replicate(restored, self.mesh)
             else:
                 restored = ckpt.load(self.state, cfg.checkpoint_dir,
                                      cfg.dataset_dir)
@@ -450,22 +469,38 @@ class Trainer:
                         process_count=self.n_proc)
                 if self.cycle:
                     it_b = train_iterator(
-                        self.root, cfg.batch_size, cfg.data_seed + 7919,
+                        self.root, self.local_bs, cfg.data_seed + 7919,
                         use_augmentation=cfg.use_augmentation, epoch=epoch,
                         train_size=cfg.train_size, prefetch=cfg.prefetch,
                         split="trainB", cache_mb=cfg.decode_cache_mb,
-                        max_src_hw=self.max_src_hw)
+                        max_src_hw=self.max_src_hw,
+                        process_index=self.pid,
+                        process_count=self.n_proc)
                     it = zip(it, it_b)
                 for idx, raw in enumerate(it):
                     self.key, k_pre, k_step = jax.random.split(self.key, 3)
                     if self.cycle:
                         raw_a, raw_b = raw
                         k_a, k_b = jax.random.split(k_pre)
+                        kwa = kwb = {}
+                        if self.n_proc > 1:
+                            # global-consistent per-sample randomness, per
+                            # domain (each domain has its own key so the
+                            # global row spaces are independent)
+                            gb = cfg.batch_size * (
+                                2 if cfg.use_augmentation else 1)
+                            kwa = dict(global_b=gb,
+                                       sample_rows=jnp.asarray(
+                                           raw_a["rows"]))
+                            kwb = dict(global_b=gb,
+                                       sample_rows=jnp.asarray(
+                                           raw_b["rows"]))
                         batch = self.preprocess(raw_a["img"], raw_a["seg"],
                                                 raw_a["cls"], k_a,
-                                                raw_a["aug"])
+                                                raw_a["aug"], **kwa)
                         bb = self.preprocess(raw_b["img"], raw_b["seg"],
-                                             raw_b["cls"], k_b, raw_b["aug"])
+                                             raw_b["cls"], k_b, raw_b["aug"],
+                                             **kwb)
                         batch = dict(batch, real_b=bb["real_a"],
                                      seg_b=bb["seg_a"], mask_b=bb["mask_a"])
                     else:

@@ -52,7 +52,8 @@ def _tiny_dataset(root, n_train=8, n_test=1):
     import numpy as np
     from PIL import Image
     rng = np.random.default_rng(5)
-    for split, n in [("trainA", n_train), ("testA", n_test)]:
+    for split, n in [("trainA", n_train), ("trainB", n_train),
+                     ("testA", n_test)]:
         for sub in ["", "_seg", "_seg_class"]:
             os.makedirs(os.path.join(root, f"{split}{sub}"), exist_ok=True)
         for i in range(n):
@@ -66,12 +67,15 @@ def _tiny_dataset(root, n_train=8, n_test=1):
                 os.path.join(root, f"{split}_seg_class", name))
 
 
-def test_two_process_trainer_matches_single_process(tmp_path):
-    """VERDICT r2 item 5: Trainer.train across 2 processes — per-process
-    file sharding, make_array_from_process_local_data batch assembly,
-    coordinator-gated writes — must produce the SAME losses as a
-    single-process run over the identical global batch (same seed, same
-    per-sample augmentation keys via the global-row machinery)."""
+@pytest.mark.parametrize("mode", ["dp", "spatial", "cycle"])
+def test_two_process_trainer_matches_single_process(tmp_path, mode):
+    """Trainer.train across 2 processes — per-process file sharding,
+    make_array_from_process_local_data batch assembly, coordinator-gated
+    writes — must produce the SAME losses as a single-process run over
+    the identical global batch (same seed, same per-sample augmentation
+    keys via the global-row machinery).  Modes: plain dp (VERDICT r2
+    item 5), (data x space) spatial sharding spanning hosts, and
+    two-domain cycle training over the dp mesh."""
     import numpy as np
 
     ds = str(tmp_path / "m")
@@ -83,7 +87,7 @@ def test_two_process_trainer_matches_single_process(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(HERE, "_dist_trainer_worker.py"),
-             str(pid), str(port), ds, str(tmp_path)],
+             str(pid), str(port), ds, str(tmp_path), mode],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env)
         for pid in range(2)
@@ -106,18 +110,13 @@ def test_two_process_trainer_matches_single_process(tmp_path):
         assert any(l.startswith("OK resume") for l in out.splitlines()), out
     assert losses[0] == losses[1]  # replicated metrics agree across hosts
 
-    # single-process reference: same config on a 4-device local mesh
-    from sggan_tpu.config import Config
+    # single-process reference: the same mesh over 4 local devices
+    from tests._dist_trainer_worker import make_cfg
     from sggan_tpu.train.trainer import Trainer
-    cfg = Config(dataset_dir=ds, epoch=1, batch_size=4,
-                 image_height=32, image_width=32, ngf=4, ndf=4,
-                 segment_class=8, compute_dtype="float32",
-                 loss_mode="sggan", use_resnet=True, max_size=2,
-                 mesh_data=4, save_freq=0, print_freq=100,
-                 device_dataset_mb=0,
-                 checkpoint_dir=str(tmp_path / "ckpt_sp"),
-                 sample_dir=str(tmp_path / "sample_sp"),
-                 test_dir=str(tmp_path / "test_sp"),
-                 log_dir=str(tmp_path / "logs_sp"))
+    cfg = make_cfg(mode, ds, str(tmp_path), 0)
+    cfg = cfg.replace(checkpoint_dir=str(tmp_path / f"ckpt_ref_{mode}"),
+                      sample_dir=str(tmp_path / f"sample_ref_{mode}"),
+                      test_dir=str(tmp_path / f"test_ref_{mode}"),
+                      log_dir=str(tmp_path / f"logs_ref_{mode}"))
     res = Trainer(cfg).train()
     np.testing.assert_allclose(losses[0], res["gen_loss"], rtol=1e-4)
