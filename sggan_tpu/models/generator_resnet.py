@@ -57,14 +57,23 @@ def _res_block(b, x, cd, use_pallas):
 
 
 def apply(params, x, compute_dtype=None, use_pallas=None, rng=None,
-          deterministic=True, remat=False):
+          deterministic=True, remat=False, pad_free_head=True):
     """x: (N, H, W, C) with H, W divisible by 4. Returns float32 tanh image.
 
     remat: rematerialize each residual block in the backward pass
     (jax.checkpoint) — trades one extra block forward for not storing
     the block's four intermediate activations, the bulk of the
     generator's live set.  Enables native-resolution (e.g. 2048x1024)
-    training within one chip's HBM."""
+    training within one chip's HBM.  Numerics-identical by
+    construction (tested).
+
+    pad_free_head: use the strided-padding + border-strip head
+    (ops/s2d.conv2d_reflect_s2d, ~4 ms/step faster at 256x512) instead
+    of the pre-padded s2d head.  Same math up to f32 summation order.
+    The train step passes ``not cfg.remat``: under memory pressure the
+    strip machinery's extra temporaries tipped the native-res
+    fused-scan program over HBM (18.6 vs 15.75G) where the padded head
+    compiled — the ms win is the wrong trade there."""
     cd = compute_dtype or x.dtype
     y = conv2d_reflect(params["c1"], x.astype(cd), cd, bias=False)
     y = instance_norm(params["c1_in"], y, act="relu", use_pallas=use_pallas)
@@ -84,7 +93,7 @@ def apply(params, x, compute_dtype=None, use_pallas=None, rng=None,
     # lane waste at N=3; reflect handled pad-free (strided conv padding +
     # border strips — no padded activation in fwd OR bwd; ops/s2d.py)
     from ..ops import s2d
-    if s2d.applicable_reflect(y, params["out"]["w"]):
+    if pad_free_head and s2d.applicable_reflect(y, params["out"]["w"]):
         y = s2d.conv2d_reflect_s2d(params["out"], y, compute_dtype=cd)
     else:
         y = reflect_pad(y, 3)

@@ -142,8 +142,11 @@ def _gen_fwd(cfg, params, bn, x, rng, deterministic):
             deterministic=deterministic, train=not deterministic, ngf=cfg.ngf)
         return y, new_bn
     if cfg.use_resnet:
+        # under --remat prefer the lower-peak-HBM pre-padded head (see
+        # generator_resnet.apply docstring)
         return generator_resnet.apply(params, x, compute_dtype=cd,
-                                      remat=cfg.remat), {}
+                                      remat=cfg.remat,
+                                      pad_free_head=not cfg.remat), {}
     return generator_unet.apply(params, x, compute_dtype=cd, rng=rng,
                                 deterministic=deterministic,
                                 remat=cfg.remat), {}
