@@ -137,6 +137,10 @@ class Config:
     # enabling native-resolution (2048x1024) training within one chip's
     # HBM.  Semantic generators (resnet/unet) only.
     remat: bool = False
+    # Resnet head form: None = pad-free strided head unless --remat (the
+    # pad-free strips cost ~2.8G extra peak HBM at native res; see
+    # generator_resnet.apply); explicit True/False overrides.
+    pad_free_head: Optional[bool] = None
     use_pallas: Optional[bool] = None  # None = auto (TPU only)
     prefetch: int = 2                  # host->device pipeline depth
     # Decoded-triplet RAM cache budget (MB); epochs >= 2 skip PNG decode
@@ -337,6 +341,11 @@ def build_parser() -> argparse.ArgumentParser:
     _add_bool(p, "remat", d.remat,
               "rematerialize generator stages in backward (less HBM, "
               "~1 extra forward) — for native-resolution training")
+    p.add_argument("--pad_free_head", type=lambda s: s.lower() == "true",
+                   default=d.pad_free_head,
+                   help="resnet head form: true=pad-free strided head "
+                        "(faster), false=pre-padded (lower peak HBM); "
+                        "default auto (pad-free unless --remat)")
     p.add_argument("--decode_cache_mb", type=int, default=d.decode_cache_mb,
                    help="decoded-image RAM cache budget (MB), 0 disables")
     p.add_argument("--host_downscale", type=int, default=d.host_downscale,

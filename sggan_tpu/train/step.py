@@ -142,11 +142,13 @@ def _gen_fwd(cfg, params, bn, x, rng, deterministic):
             deterministic=deterministic, train=not deterministic, ngf=cfg.ngf)
         return y, new_bn
     if cfg.use_resnet:
-        # under --remat prefer the lower-peak-HBM pre-padded head (see
-        # generator_resnet.apply docstring)
+        # default: the lower-peak-HBM pre-padded head under --remat (see
+        # generator_resnet.apply docstring); cfg.pad_free_head overrides
+        pfh = cfg.pad_free_head if cfg.pad_free_head is not None \
+            else not cfg.remat
         return generator_resnet.apply(params, x, compute_dtype=cd,
                                       remat=cfg.remat,
-                                      pad_free_head=not cfg.remat), {}
+                                      pad_free_head=pfh), {}
     return generator_unet.apply(params, x, compute_dtype=cd, rng=rng,
                                 deterministic=deterministic,
                                 remat=cfg.remat), {}
