@@ -149,7 +149,10 @@ class Trainer:
                                            compute_dtype=cd, ngf=cfg.ngf)
             return y
         if cfg.use_resnet:
-            return generator_resnet.apply(gen_params, x, compute_dtype=cd)
+            pfh = cfg.pad_free_head if cfg.pad_free_head is not None \
+                else not cfg.remat
+            return generator_resnet.apply(gen_params, x, compute_dtype=cd,
+                                          pad_free_head=pfh)
         return generator_unet.apply(gen_params, x, compute_dtype=cd)
 
     def generate(self, images01: np.ndarray) -> np.ndarray:
