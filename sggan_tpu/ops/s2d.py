@@ -106,14 +106,20 @@ def conv2d_reflect_s2d(params, x, r: int = 4, compute_dtype=None):
     w = params["w"]
     k, _, _, cout = w.shape
     p = k // 2
+    # The head fans x out to FIVE consumers (strided conv + 4 strip
+    # convs).  Without a boundary XLA duplicates the producing chain
+    # (instance-norm normalize, in f32) into each consumer fusion and
+    # materializes the f32 intermediates — +2.8G peak at 2048x1024
+    # (see PERF.md).  The barrier forces ONE materialized compute-dtype
+    # buffer that all five consumers read.
+    xcd = lax.optimization_barrier(x.astype(cd))
     yb = lax.conv_general_dilated(
-        x.astype(cd), _s2d_weights(w, r).astype(cd), (r, r),
+        xcd, _s2d_weights(w, r).astype(cd), (r, r),
         [(p, p), (p, p)], dimension_numbers=_DIMS)
     y = _d2s(yb, r, cout)
     if "b" in params:
         y = y + params["b"].astype(cd)
     # border strips: identical construction to conv2d_reflect
-    xcd = x.astype(cd)
     h = x.shape[1]
     flip_h = lambda t: t[:, ::-1]
     flip_w = lambda t: t[:, :, ::-1]
