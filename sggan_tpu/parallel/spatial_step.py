@@ -55,7 +55,8 @@ def init_sp_state(cfg, key, n_data: int = 1) -> TrainState:
                                          image_size=h)
         dpp, dbn = discriminator_pix2pix.init(kd, ndf=cfg.ndf,
                                               input_nc=cfg.input_nc)
-        pool = pool_init(1 * n_data, (h, w, cfg.output_nc))  # p2p: unused
+        pool = pool_init(1 * n_data, (h, w, cfg.output_nc),
+                         dtype=_dtype(cfg))  # p2p: unused
         return TrainState(gp, gbn, dpp, dbn, tx.init(gp), tx.init(dpp),
                           pool, jnp.zeros((), jnp.int32))
     if cfg.use_resnet:
@@ -70,9 +71,12 @@ def init_sp_state(cfg, key, n_data: int = 1) -> TrainState:
     # (fake, mask) pooled together (both space-sharded on their H dim) so
     # historical fakes keep the semantic mask they were generated under
     hm, wm = cfg.mask_hw
+    # compute-dtype storage — bit-exact for D consumers, half the HBM
+    # (see pool.pool_update)
     pool = pool_init(max(cfg.max_size, 1) * n_data,
                      {"fake": (h, w, cfg.output_nc),
-                      "mask": (hm, wm, cfg.segment_class)})
+                      "mask": (hm, wm, cfg.segment_class)},
+                     dtype=_dtype(cfg))
     return TrainState(gp, {}, dp, {}, tx.init(gp), tx.init(dp), pool,
                       jnp.zeros((), jnp.int32))
 

@@ -61,9 +61,13 @@ def init_cycle_state(cfg, key, n_data: int = 1) -> TrainState:
     # one pool entry = the (fake_a, fake_b) pair PLUS the source masks they
     # were generated under, so pooled fakes are gated with their own masks
     hm, wm = cfg.mask_hw
+    # compute-dtype storage: pooled pairs feed only D forwards (which
+    # cast to the compute dtype) — bit-exact at half the HBM, see
+    # pool.pool_update
     pool = pool_init(max(cfg.max_size, 1) * n_data,
                      {"fakes": (2, h, w, cfg.output_nc),
-                      "masks": (2, hm, wm, cfg.segment_class)})
+                      "masks": (2, hm, wm, cfg.segment_class)},
+                     dtype=_dtype(cfg))
     return TrainState(gp, {}, dp, {}, tx.init(gp), tx.init(dp), pool,
                       jnp.zeros((), jnp.int32))
 

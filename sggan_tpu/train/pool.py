@@ -52,10 +52,17 @@ def pool_init(max_size: int, item_shape, dtype=jnp.float32) -> PoolState:
 
 
 def pool_update(state: PoolState, key, items) -> tuple:
-    """items: pytree of (B, *item_shape). Returns (new_state, out_items)."""
+    """items: pytree of (B, *item_shape). Returns (new_state, out_items),
+    both in the BUFFER's dtype (items are cast on entry).  The train
+    steps size the buffer in the compute dtype: every pool consumer is a
+    discriminator forward that casts to the compute dtype anyway, so
+    under bf16 training a bf16 buffer is bit-exact vs f32 storage while
+    halving the pool's HBM footprint (1.5 GB -> 0.75 GB at native
+    2048x1024 with max_size=50)."""
     max_size = jax.tree.leaves(state.buffer)[0].shape[0]
     b = jax.tree.leaves(items)[0].shape[0]
     tmap = jax.tree.map
+    items = tmap(lambda it, bf: it.astype(bf.dtype), items, state.buffer)
 
     def body(i, carry):
         buf, count, out = carry

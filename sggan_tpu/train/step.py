@@ -114,6 +114,15 @@ def init_state(cfg, key, n_data: int = 1) -> TrainState:
         dbn = {}
     tx = _tx(cfg.beta1)
     pool_slots = (cfg.max_size if cfg.loss_mode == "sggan" else 1) * n_data
+    # Pool storage dtype = compute dtype: pooled entries are consumed
+    # ONLY by discriminator forwards, which cast to the compute dtype —
+    # so under bf16 training a bf16 buffer is bit-exact vs f32 storage
+    # (bf16(stored bf16 x) == bf16(x)) at half the HBM.  One-hot masks
+    # ({0,1}) are exact in bf16 outright.  The compat history is the one
+    # exception: its buffer feeds the f32 L1 loss directly
+    # (losses.gen_loss_p2p_hist), so it stays f32 for exact reference
+    # dynamics.
+    cd = _dtype(cfg)
     if _compat_hist(cfg):
         # fixed-shape buffer for the reference's concat-accumulated fake
         # history (model.py:175-179): count grows by the effective batch
@@ -125,9 +134,10 @@ def init_state(cfg, key, n_data: int = 1) -> TrainState:
         # the semantic mask it was generated under
         hm, wm = cfg.mask_hw
         pool = pool_init(pool_slots, {"fake": (h, w, cfg.output_nc),
-                                      "mask": (hm, wm, cfg.segment_class)})
+                                      "mask": (hm, wm, cfg.segment_class)},
+                         dtype=cd)
     else:
-        pool = pool_init(pool_slots, (h, w, cfg.output_nc))
+        pool = pool_init(pool_slots, (h, w, cfg.output_nc), dtype=cd)
     # real device copies — aliased buffers would be donated twice
     ema = jax.tree.map(jnp.copy, gp) if cfg.gen_ema > 0 else None
     return TrainState(gp, gbn, dp, dbn, tx.init(gp), tx.init(dp), pool,

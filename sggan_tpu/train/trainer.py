@@ -310,16 +310,35 @@ class Trainer:
 
         return jax.jit(fn, donate_argnums=(0,) if cfg.donate else ())
 
+    @staticmethod
+    def _is_hbm_failure(e: Exception) -> bool:
+        """Compile/alloc failure signatures through XLA and this
+        environment's remote-compile service (HTTP 500 from
+        tpu_compile_helper on HBM overflow)."""
+        s = str(e).lower()
+        return any(t in s for t in (
+            "out of memory", "resource_exhausted", "resource exhausted",
+            "compil", "allocat"))
+
     def _run_epoch_fused(self, epoch, lr, dev_ds, fused, fused_scan,
                          g_losses, d_losses, global_step, start_time):
         """One epoch over the device-resident split: scan_steps steps per
         dispatch, remainder through the single-step fused program.
-        Prints and periodic saves land on chunk boundaries."""
+        Prints and periodic saves land on chunk boundaries.
+
+        If the K-step scan program fails to COMPILE (HBM overflow — the
+        scan's per-iteration temporaries can tip large-resolution programs
+        over the chip), training degrades gracefully to the per-step fused
+        program (numerically identical, same PRNG sequence) instead of
+        dying: scan chunking only amortizes dispatch latency, which is
+        negligible at the step sizes where HBM is tight (PERF.md)."""
         cfg = self.cfg
         b = cfg.batch_size
         order = np.arange(len(dev_ds))
         np.random.default_rng(cfg.data_seed + epoch).shuffle(order)
         nb = len(dev_ds) // b
+        if getattr(self, "_scan_disabled", False):
+            fused_scan = None
         k_max = cfg.scan_steps if fused_scan is not None else 1
         done = 0
         while done < nb:
@@ -328,9 +347,26 @@ class Trainer:
                 .reshape(kc, b)
             b_eff = b * (2 if cfg.use_augmentation else 1)
             if kc == k_max and fused_scan is not None:
-                self.state, self.key, m = fused_scan(
-                    self.state, self.key, dev_ds.img, dev_ds.seg,
-                    dev_ds.cls, jnp.asarray(ix), lr)
+                try:
+                    self.state, self.key, m = fused_scan(
+                        self.state, self.key, dev_ds.img, dev_ds.seg,
+                        dev_ds.cls, jnp.asarray(ix), lr)
+                except Exception as e:
+                    scan_ran = getattr(self, "_scan_ok", False)
+                    state_live = not any(
+                        getattr(a, "is_deleted", lambda: False)()
+                        for a in jax.tree.leaves(self.state))
+                    if scan_ran or not self._is_hbm_failure(e) \
+                            or not state_live:
+                        raise
+                    print(f" [!] scan_steps={k_max} program failed to "
+                          f"compile ({type(e).__name__}); falling back to "
+                          "per-step dispatch")
+                    self._scan_disabled = True
+                    fused_scan = None
+                    k_max = 1
+                    continue
+                self._scan_ok = True
             else:
                 gs, dl = [], []
                 for r in range(kc):

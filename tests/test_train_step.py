@@ -153,3 +153,49 @@ def test_loss_mode_simple_runs_and_learns():
         assert np.isfinite(float(m["gen_loss"]))
         gl.append(float(m["gen_loss"]))
     assert gl[-1] < gl[0]
+
+
+def test_pool_compute_dtype_storage_is_exact():
+    """The pool buffer is stored in the compute dtype (init_state): under
+    bf16 training this must be OBSERVATIONALLY exact vs f32 storage,
+    because every pooled entry is consumed by a discriminator forward
+    that casts to bf16 anyway (bf16(stored bf16 x) == bf16(x)).  Run the
+    same sggan steps from states differing only in pool-buffer dtype and
+    require matching losses and parameters."""
+    import jax
+    import jax.numpy as jnp
+
+    from sggan_tpu.config import Config
+    from sggan_tpu.train.step import init_state, make_train_step
+
+    cfg = Config(loss_mode="sggan", use_resnet=True, batch_size=2,
+                 image_height=16, image_width=16, ngf=4, ndf=4,
+                 segment_class=8, max_size=3, compute_dtype="bfloat16",
+                 use_augmentation=False).validate()
+    key = jax.random.PRNGKey(0)
+    state_bf16 = init_state(cfg, key)
+    assert jax.tree.leaves(state_bf16.pool.buffer)[0].dtype == jnp.bfloat16
+    state_f32 = state_bf16._replace(pool=state_bf16.pool._replace(
+        buffer=jax.tree.map(lambda a: a.astype(jnp.float32),
+                            state_bf16.pool.buffer)))
+    step = make_train_step(cfg, donate=False)
+    rng = jax.random.PRNGKey(7)
+    batch = {
+        "real_a": jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3)),
+        "seg_a": jax.random.uniform(jax.random.PRNGKey(2), (2, 16, 16, 3)),
+        "mask_a": jax.nn.one_hot(
+            jax.random.randint(jax.random.PRNGKey(3), (2, 2, 2), 0, 8),
+            8).astype(jnp.float32),
+    }
+    lr = jnp.float32(1e-3)
+    for i in range(6):  # past pool fill (3 slots, batch 2) into swap mode
+        k = jax.random.fold_in(rng, i)
+        state_bf16, m16 = step(state_bf16, batch, lr, k)
+        state_f32, m32 = step(state_f32, batch, lr, k)
+        np.testing.assert_allclose(float(m16["gen_loss"]),
+                                   float(m32["gen_loss"]), rtol=1e-6)
+        np.testing.assert_allclose(float(m16["disc_loss"]),
+                                   float(m32["disc_loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(state_bf16.disc_params),
+                    jax.tree.leaves(state_f32.disc_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -211,3 +211,47 @@ def test_profile_dir_and_throughput_scalar(ds, tmp_path):
               if "tfevents" in f]
     scalars = read_scalars(events[0])
     assert "Images/sec" in scalars and scalars["Images/sec"][0][1] > 0
+
+
+def test_scan_compile_oom_falls_back_to_per_step(ds, tmp_path):
+    """If the K-step scan program fails to COMPILE (HBM overflow through
+    the remote compile service), the trainer must degrade to the
+    per-step fused program — numerically identical, same PRNG sequence —
+    instead of dying (the scan only amortizes dispatch latency)."""
+
+    class OomScanTrainer(Trainer):
+        def _make_fused_scan(self, ds_, k):
+            def boom(*a, **kw):
+                raise RuntimeError(
+                    "RESOURCE_EXHAUSTED: Ran out of memory in memory "
+                    "space hbm. Used 15.75G of 15.75G hbm.")
+            return boom
+
+    losses = {}
+    for name, cls, k in (("oom_scan", OomScanTrainer, 3),
+                         ("per_step", Trainer, 1)):
+        cfg = base_cfg(ds, tmp_path / name, loss_mode="sggan",
+                       use_resnet=True, batch_size=1,
+                       device_dataset_mb=2048, scan_steps=k)
+        t = cls(cfg)
+        res = t.train()
+        assert getattr(t, "_scan_disabled", False) == (k > 1)
+        losses[name] = res["gen_loss"]
+    np.testing.assert_allclose(losses["oom_scan"], losses["per_step"],
+                               rtol=1e-4)
+
+
+def test_scan_non_memory_error_reraises(ds, tmp_path):
+    """Unrelated failures in the scan program must NOT be swallowed by
+    the HBM fallback."""
+
+    class BrokenScanTrainer(Trainer):
+        def _make_fused_scan(self, ds_, k):
+            def boom(*a, **kw):
+                raise RuntimeError("something unrelated went wrong")
+            return boom
+
+    cfg = base_cfg(ds, tmp_path, loss_mode="sggan", use_resnet=True,
+                   batch_size=1, device_dataset_mb=2048, scan_steps=2)
+    with pytest.raises(RuntimeError, match="unrelated"):
+        BrokenScanTrainer(cfg).train()
