@@ -36,7 +36,7 @@ from .. import losses
 from ..models import discriminator, generator_resnet, generator_unet
 from ..ops.deriv import seg_boundary_weight
 from .pool import pool_init, pool_update
-from .step import TrainState, _dtype, _tx
+from .step import TrainState, _dtype, _ema_update, _tx
 
 
 def _gen(cfg):
@@ -68,8 +68,11 @@ def init_cycle_state(cfg, key, n_data: int = 1) -> TrainState:
                      {"fakes": (2, h, w, cfg.output_nc),
                       "masks": (2, hm, wm, cfg.segment_class)},
                      dtype=_dtype(cfg))
+    # --gen_ema shadows BOTH generators (the {"a2b","b2a"} tree maps
+    # through _ema_update / Trainer.generate / serve untouched)
+    ema = jax.tree.map(jnp.copy, gp) if cfg.gen_ema > 0 else None
     return TrainState(gp, {}, dp, {}, tx.init(gp), tx.init(dp), pool,
-                      jnp.zeros((), jnp.int32))
+                      jnp.zeros((), jnp.int32), ema)
 
 
 def build_cycle_step_fn(cfg, axis_name: Optional[str] = None):
@@ -171,7 +174,8 @@ def build_cycle_step_fn(cfg, axis_name: Optional[str] = None):
             state.disc_params, jax.tree.map(lambda u: -lr * u, d_upd))
 
         new_state = TrainState(gen_params, {}, disc_params, {}, g_opt,
-                               d_opt, new_pool, state.step + 1)
+                               d_opt, new_pool, state.step + 1,
+                               _ema_update(cfg, state.ema, gen_params))
         return new_state, {"gen_loss": g_loss, "disc_loss": d_loss}
 
     return step_fn

@@ -136,3 +136,22 @@ def test_cycle_dp_via_make_dp_train_step():
     state, m = step(state, batch, jnp.float32(1e-3), jax.random.PRNGKey(2))
     assert np.isfinite(float(m["gen_loss"]))
     assert int(state.step) == 1
+
+
+def test_cycle_gen_ema():
+    """--gen_ema in cycle mode: one shadow tree covering BOTH generators,
+    updated after the Adam step; after a few steps the shadow must lag
+    the raw params but have moved off init."""
+    cfg = cfg_(gen_ema=0.9).validate()
+    state = init_cycle_state(cfg, jax.random.PRNGKey(0))
+    assert state.ema is not None and set(state.ema) == {"a2b", "b2a"}
+    init_l = [np.asarray(l).copy() for l in jax.tree.leaves(state.ema)]
+    step = make_cycle_train_step(cfg, donate=False)
+    batch = make_batch(cfg, jax.random.PRNGKey(1))
+    for i in range(3):
+        state, _ = step(state, batch, jnp.float32(1e-3),
+                        jax.random.PRNGKey(i))
+    ema_l = [np.asarray(l) for l in jax.tree.leaves(state.ema)]
+    raw_l = [np.asarray(l) for l in jax.tree.leaves(state.gen_params)]
+    assert any(not np.allclose(e, r) for e, r in zip(ema_l, raw_l))
+    assert any(not np.allclose(e, i) for e, i in zip(ema_l, init_l))
