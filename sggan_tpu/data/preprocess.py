@@ -41,6 +41,12 @@ def _identity_params() -> AffineParams:
 
 
 def _resize(x, hw, method="linear"):
+    if tuple(x.shape[-3:-1]) == tuple(hw):
+        # identity resize (e.g. native-resolution training, where source
+        # and target are both 2048x1024): linear/antialias at scale 1 is
+        # an exact identity, but XLA still materializes the gather —
+        # skip it outright
+        return x
     shape = (*x.shape[:-3], *hw, x.shape[-1])
     return jax.image.resize(x, shape, method=method, antialias=True)
 
@@ -48,8 +54,10 @@ def _resize(x, hw, method="linear"):
 def _one_hot_mask(cls_u8, mask_hw, n_class):
     """(B, sh, sw) uint8 class map -> (B, mh, mw, n_class) one-hot via
     nearest-neighbour resize (replaces utils.py:158-165 + scipy zoom)."""
-    cls = jax.image.resize(cls_u8.astype(jnp.float32),
-                           (cls_u8.shape[0], *mask_hw), method="nearest")
+    cls = cls_u8.astype(jnp.float32)
+    if tuple(cls_u8.shape[1:3]) != tuple(mask_hw):  # same-shape: exact skip
+        cls = jax.image.resize(cls, (cls_u8.shape[0], *mask_hw),
+                               method="nearest")
     return jax.nn.one_hot(cls.astype(jnp.int32), n_class, dtype=jnp.float32)
 
 
