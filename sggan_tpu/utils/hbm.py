@@ -1,0 +1,138 @@
+"""Compile-only HBM sizing probe.
+
+Large-resolution train programs can exceed device memory, and through a
+remote-compile service each failed attempt costs minutes (plus, for a
+training run, the whole relaunch).  This tool compiles the EXACT program
+a config would run — the fused gather+preprocess+step, its
+``--scan_steps`` lax.scan chunk, or the eval generator forward — from
+abstract ``ShapeDtypeStruct`` inputs: no dataset is uploaded and nothing
+executes, so a probe is safe and costs only the compile.  XLA's
+``memory_analysis`` of the resulting executable gives the peak
+temp/argument/output split, answering "does this config fit?" before a
+multi-hour run is launched.
+
+The numbers are BACKEND-SPECIFIC: probe on the device you will train on
+(a CPU probe checks shapes/plumbing but says nothing about TPU HBM).
+
+CLI (same flags as main.py, plus probe controls):
+
+    python -m sggan_tpu.utils.hbm --img_height 1024 --img_width 2048 \
+        --loss_mode sggan --use_resnet --scan_steps 8 \
+        --probe_items 100 --probe_src 1024x2048
+
+prints one JSON line with byte counts and, when the backend exposes a
+device memory size, the fit verdict.
+
+No reference counterpart (the reference is eager and single-resolution);
+SURVEY §5 observability scope.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _sds(shape, dtype):
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def probe_memory(cfg, source_hw: Optional[Tuple[int, int]] = None,
+                 n_items: int = 100, kind: str = "auto") -> dict:
+    """Abstractly compile the configured program and return its memory
+    analysis.
+
+    kind: "scan" (the --scan_steps fused program), "step" (the
+    single-step fused program), "eval" (the generator eval forward), or
+    "auto" (scan when cfg.scan_steps > 1 else step).
+    source_hw: decoded source (H, W) as the loader would feed it (after
+    --host_downscale); defaults to the training resolution.
+    n_items: device-resident split length (affects the resident-split
+    argument bytes only).
+    """
+    from ..train.trainer import Trainer
+
+    if kind == "auto":
+        kind = "scan" if cfg.scan_steps > 1 else "step"
+    sh, sw = source_hw or (cfg.image_height, cfg.image_width)
+    tr = Trainer(cfg)
+    state_sds = jax.tree.map(lambda x: _sds(x.shape, x.dtype), tr.state)
+    img = _sds((n_items, sh, sw, 3), jnp.uint8)
+    cls = _sds((n_items, sh, sw), jnp.uint8)
+    lr = _sds((), jnp.float32)
+    key = _sds((2,), jnp.uint32)
+
+    if kind == "eval":
+        gp = state_sds.ema if tr.state.ema is not None \
+            else state_sds.gen_params
+        x = _sds((min(8, n_items), cfg.image_height, cfg.image_width, 3),
+                 jnp.float32)
+        lowered = tr._gen_jit.lower(gp, state_sds.gen_bn, x)
+    elif kind == "scan":
+        k = cfg.scan_steps
+        fn = tr._make_fused_scan(None, k)
+        idx = _sds((k, cfg.batch_size), jnp.int32)
+        lowered = fn.lower(state_sds, key, img, img, cls, idx, lr)
+    elif kind == "step":
+        fn = tr._make_fused_step(None)
+        idx = _sds((cfg.batch_size,), jnp.int32)
+        lowered = fn.lower(state_sds, img, img, cls, idx, key, key, lr)
+    else:
+        raise ValueError(f"kind={kind!r} — scan/step/eval/auto")
+
+    compiled = lowered.compile()
+    ma = compiled.memory_analysis()
+    out = {"kind": kind, "backend": jax.default_backend(),
+           "source_hw": [sh, sw], "n_items": n_items}
+    for f in ("temp_size_in_bytes", "argument_size_in_bytes",
+              "output_size_in_bytes", "alias_size_in_bytes",
+              "generated_code_size_in_bytes"):
+        v = getattr(ma, f, None)
+        if v is not None:
+            out[f.replace("_size_in_bytes", "_bytes")] = int(v)
+    # peak HBM ~= arguments + outputs + temps - donated aliases
+    known = [out.get(k2, 0) for k2 in
+             ("temp_bytes", "argument_bytes", "output_bytes")]
+    out["total_bytes"] = sum(known) - out.get("alias_bytes", 0)
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit")
+        if limit:
+            out["device_bytes_limit"] = int(limit)
+            out["fits"] = out["total_bytes"] <= int(limit)
+    except Exception:
+        pass
+    return out
+
+
+def main(argv=None):
+    import dataclasses
+
+    from ..config import Config, build_parser
+
+    p = build_parser()
+    p.add_argument("--probe_kind", default="auto",
+                   choices=["auto", "scan", "step", "eval"])
+    p.add_argument("--probe_items", type=int, default=100,
+                   help="device-resident split length")
+    p.add_argument("--probe_src", default=None,
+                   help="decoded source HxW, e.g. 1024x2048 "
+                        "(default: the training resolution)")
+    ns = p.parse_args(argv)
+    fields = {f.name for f in dataclasses.fields(Config)}
+    cfg = Config(**{k: v for k, v in vars(ns).items()
+                    if k in fields}).validate()
+    src = None
+    if ns.probe_src:
+        h, w = ns.probe_src.lower().split("x")
+        src = (int(h), int(w))
+    out = probe_memory(cfg, source_hw=src, n_items=ns.probe_items,
+                       kind=ns.probe_kind)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -170,3 +170,22 @@ def test_read_scalars_roundtrip(tmp_path):
     assert [x[0] for x in back["Mean IoU"]] == [0, 1, 2]
     np.testing.assert_allclose([x[1] for x in back["Mean IoU"]],
                                [0.0, 0.1, 0.2], atol=1e-6)
+
+
+def test_hbm_probe_plumbing(tmp_path):
+    """The compile-only memory probe (utils/hbm.py): abstract-compile the
+    scan/step/eval programs for a tiny config and report byte counts —
+    nothing executes, no dataset is read."""
+    from sggan_tpu.config import Config
+    from sggan_tpu.utils.hbm import probe_memory
+
+    cfg = Config(dataset_dir=str(tmp_path), loss_mode="sggan",
+                 use_resnet=True, batch_size=2, image_height=32,
+                 image_width=32, ngf=4, ndf=4, segment_class=8,
+                 compute_dtype="float32", scan_steps=2).validate()
+    for kind in ("scan", "step", "eval"):
+        out = probe_memory(cfg, n_items=4, kind=kind)
+        assert out["kind"] == kind
+        assert out["total_bytes"] > 0, out
+    auto = probe_memory(cfg, n_items=4)
+    assert auto["kind"] == "scan"  # scan_steps=2 -> auto picks scan
