@@ -4,23 +4,29 @@ The resnet generator's c7s1 head convolves 64 -> 3 channels at full
 resolution (module.py:267-268).  As a plain conv the MXU pads N=3 output
 channels to a 128-lane tile, wasting 42/43 of the array — measured 23.3
 ms fwd+bwd inside the 146 ms train step at 256x512 b=16 (PERF.md round
-2).  Computing all r x r output pixels of a block at once turns it into
-a STRIDE-r conv with an expanded (k+r-1)^2 kernel and r^2*cout output
-channels (48 lanes at r=4, ~16x less lane waste):
+2).  Computing all rh x rw output pixels of a block at once turns it
+into a STRIDE-(rh,rw) conv with an expanded (k+rh-1)x(k+rw-1) kernel
+and rh*rw*cout output channels:
 
-    y[b, r*u+pi, r*v+pj, o]
-      = sum_{dy,dx,c} x[b, r*u+pi+dy, r*v+pj+dx, c] * w[dy, dx, c, o]
-      = conv(x, W2, stride=r)[b, u, v, (pi, pj, o)],
+    y[b, rh*u+pi, rw*v+pj, o]
+      = sum_{dy,dx,c} x[b, rh*u+pi+dy, rw*v+pj+dx, c] * w[dy, dx, c, o]
+      = conv(x, W2, stride=(rh,rw))[b, u, v, (pi, pj, o)],
         W2[P, Q, c, (pi, pj, o)] = w[P-pi, Q-pj, c, o]  (zero outside).
 
 Unlike the blocked space-to-depth formulation (which reshapes the input
 into r^2*C channels), the strided form needs NO input-side relayout —
 the round-2 profiler trace showed the blocked form's backward spending
-~3.6 ms/step in transpose copies — and carries (k+r-1)^2 / (kb^2 r^2)
-~= 0.7x the taps.  Only the small (H/r, W/r, r^2*cout) output is
-depth-to-space'd back.  Numerically identical to the direct conv up to
-f32 summation order (validated in tests and against the golden
-fixtures).
+~3.6 ms/step in transpose copies.  Only the small (H/rh, W/rw,
+rh*rw*cout) output is depth-to-space'd back.  Numerically identical to
+the direct conv up to f32 summation order (validated in tests and
+against the golden fixtures).
+
+Block-shape choice (MXU cost model, validated on chip): with the MXU
+padding output channels to a 128 lane tile, the relative cost of a
+block shape is taps x 128/lanes = (k+rh-1)(k+rw-1) * 128/(rh*rw*cout).
+For k=7, cout=3:  4x4 -> 100 taps / 48 lanes -> 266;  4x8 -> 140 taps /
+96 lanes -> 186 (~30% less MXU time);  8x8 needs 192 lanes (> 128, not
+tileable).  ``best_block`` picks the cheapest admissible shape.
 """
 
 from __future__ import annotations
@@ -32,63 +38,96 @@ from jax import lax
 _DIMS = ("NHWC", "HWIO", "NHWC")
 
 
-def applicable(x_padded, w, r: int = 4) -> bool:
+def _rhw(r) -> tuple:
+    return (r, r) if isinstance(r, int) else tuple(r)
+
+
+def _block_cost(k: int, cout: int, rh: int, rw: int) -> float:
+    """taps x lane-padding factor — relative MXU time per output pixel."""
+    lanes = rh * rw * cout
+    return (k + rh - 1) * (k + rw - 1) * 128.0 / lanes
+
+
+def best_block(k: int, cout: int, h: int, w: int) -> tuple:
+    """Cheapest (rh, rw) with rh|h, rw|w and rh*rw*cout <= 128 lanes."""
+    best, best_c = None, float("inf")
+    for rh in (1, 2, 4, 8, 16):
+        for rw in (1, 2, 4, 8, 16):
+            if rh * rw * cout > 128 or h % rh or w % rw:
+                continue
+            if rh > h or rw > w:
+                continue
+            c = _block_cost(k, cout, rh, rw)
+            if c < best_c:
+                best, best_c = (rh, rw), c
+    return best or (1, 1)
+
+
+def applicable(x_padded, w, r=4) -> bool:
+    rh, rw = _rhw(r)
     k, _, _, cout = w.shape
     h, wd = x_padded.shape[1] - (k - 1), x_padded.shape[2] - (k - 1)
-    return (cout * r * r <= 128 and h % r == 0 and wd % r == 0
-            and h >= r and wd >= r)
+    return (cout * rh * rw <= 128 and h % rh == 0 and wd % rw == 0
+            and h >= rh and wd >= rw)
 
 
-def _d2s(y, r: int, cout: int):
+def _d2s(y, rh: int, rw: int, cout: int):
     b, hb, wb, _ = y.shape
-    y = y.reshape(b, hb, wb, r, r, cout)
-    return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, hb * r, wb * r, cout)
+    y = y.reshape(b, hb, wb, rh, rw, cout)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, hb * rh, wb * rw, cout)
 
 
-def _s2d_weights(w, r: int):
+def _s2d_weights(w, rh: int, rw: int):
     """W2[P, Q, cin, (pi, pj, o)] = w[P-pi, Q-pj, cin, o], zero outside
-    the kernel; P, Q in [0, k+r-1)."""
+    the kernel; P in [0, k+rh-1), Q in [0, k+rw-1)."""
     k, _, cin, cout = w.shape
-    kp = k + r - 1
-    d = np.arange(kp)[:, None] - np.arange(r)[None, :]   # (P, pi) -> dy
-    valid = (d >= 0) & (d < k)
-    dc = np.clip(d, 0, k - 1).reshape(-1)
-    vmask = jnp.asarray(valid.reshape(-1))
+    kph, kpw = k + rh - 1, k + rw - 1
+    dh = np.arange(kph)[:, None] - np.arange(rh)[None, :]  # (P, pi) -> dy
+    vh = (dh >= 0) & (dh < k)
+    dhc = np.clip(dh, 0, k - 1).reshape(-1)
+    vhm = jnp.asarray(vh.reshape(-1))
     # rows: (P, pi) indexing dy
-    w1 = jnp.where(vmask[:, None, None, None], w[dc], 0.0)
-    w1 = w1.reshape(kp, r, k, cin, cout)
+    w1 = jnp.where(vhm[:, None, None, None], w[dhc], 0.0)
+    w1 = w1.reshape(kph, rh, k, cin, cout)
+    dw = np.arange(kpw)[:, None] - np.arange(rw)[None, :]  # (Q, pj) -> dx
+    vw = (dw >= 0) & (dw < k)
+    dwc = np.clip(dw, 0, k - 1).reshape(-1)
+    vwm = jnp.asarray(vw.reshape(-1))
     # cols: (Q, pj) indexing dx
-    w2 = jnp.where(vmask[None, None, :, None, None], w1[:, :, dc], 0.0)
-    w2 = w2.reshape(kp, r, kp, r, cin, cout)
+    w2 = jnp.where(vwm[None, None, :, None, None], w1[:, :, dwc], 0.0)
+    w2 = w2.reshape(kph, rh, kpw, rw, cin, cout)
     # (P, pi, Q, pj, c, o) -> (P, Q, c, pi, pj, o)
     w2 = w2.transpose(0, 2, 4, 1, 3, 5)
-    return w2.reshape(kp, kp, cin, r * r * cout)
+    return w2.reshape(kph, kpw, cin, rh * rw * cout)
 
 
-def conv2d_valid_s2d(params, x_padded, r: int = 4, compute_dtype=None):
+def conv2d_valid_s2d(params, x_padded, r=4, compute_dtype=None):
     """Drop-in for ``conv2d(params, x_padded, 1, "VALID")`` on a
-    pre-padded input, via a stride-r conv over r x r output blocks."""
+    pre-padded input, via a stride-(rh,rw) conv over rh x rw output
+    blocks."""
+    rh, rw = _rhw(r)
     cd = compute_dtype or x_padded.dtype
     w = params["w"]
     k, _, _, cout = w.shape
     yb = lax.conv_general_dilated(
-        x_padded.astype(cd), _s2d_weights(w, r).astype(cd), (r, r),
+        x_padded.astype(cd), _s2d_weights(w, rh, rw).astype(cd), (rh, rw),
         "VALID", dimension_numbers=_DIMS)
-    y = _d2s(yb, r, cout)
+    y = _d2s(yb, rh, rw, cout)
     if "b" in params:
         y = y + params["b"].astype(cd)
     return y
 
 
-def applicable_reflect(x, w, r: int = 4) -> bool:
+def applicable_reflect(x, w, r=4) -> bool:
     """conv2d_reflect_s2d applicability on the UNPADDED input."""
+    rh, rw = _rhw(r)
     k, _, _, cout = w.shape
     h, wd = x.shape[1], x.shape[2]
-    return (k % 2 == 1 and cout * r * r <= 128 and h % r == 0
-            and wd % r == 0 and h > 2 * k and wd > 2 * k)
+    return (k % 2 == 1 and cout * rh * rw <= 128 and h % rh == 0
+            and wd % rw == 0 and h > 2 * k and wd > 2 * k)
 
 
-def conv2d_reflect_s2d(params, x, r: int = 4, compute_dtype=None):
+def conv2d_reflect_s2d(params, x, r=4, compute_dtype=None):
     """``conv2d_valid_s2d(params, reflect_pad(x, k//2))`` WITHOUT the
     padded activation: the pad rides the strided conv's own zero padding
     (interior outputs never read it), and the k//2-pixel output frame is
@@ -102,6 +141,7 @@ def conv2d_reflect_s2d(params, x, r: int = 4, compute_dtype=None):
     into the conv, autodiff emits the dgrad at the true shape and only
     the strip fixes touch the borders."""
     from .layers import conv2d
+    rh, rw = _rhw(r)
     cd = compute_dtype or x.dtype
     w = params["w"]
     k, _, _, cout = w.shape
@@ -114,9 +154,9 @@ def conv2d_reflect_s2d(params, x, r: int = 4, compute_dtype=None):
     # buffer that all five consumers read.
     xcd = lax.optimization_barrier(x.astype(cd))
     yb = lax.conv_general_dilated(
-        xcd, _s2d_weights(w, r).astype(cd), (r, r),
+        xcd, _s2d_weights(w, rh, rw).astype(cd), (rh, rw),
         [(p, p), (p, p)], dimension_numbers=_DIMS)
-    y = _d2s(yb, r, cout)
+    y = _d2s(yb, rh, rw, cout)
     if "b" in params:
         y = y + params["b"].astype(cd)
     # border strips: identical construction to conv2d_reflect

@@ -285,3 +285,48 @@ def test_conv2d_reflect_s2d_matches_padded_form():
         g2 = jax.grad(f_got, argnums=i)(p["w"], x)
         np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_s2d_rectangular_blocks_match_direct():
+    """Rectangular block shapes (rh != rw): same math as the direct conv
+    for both the valid and pad-free-reflect forms, values and grads.
+    4x8 doubles the head's MXU lane utilization (96 vs 48 of 128) at
+    1.4x the taps — net ~30% less MXU time by the s2d.py cost model."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sggan_tpu.ops import conv2d, conv2d_init, reflect_pad
+    from sggan_tpu.ops import s2d
+
+    k = jax.random.PRNGKey(5)
+    p = conv2d_init(k, 7, 7, 8, 3)
+    for r in ((4, 8), (2, 4), (8, 4)):
+        xp = jax.random.uniform(jax.random.fold_in(k, 1), (2, 22, 38, 8))
+        assert s2d.applicable(xp, p["w"], r=r)
+        ref = conv2d(p, xp, 1, "VALID")
+        got = s2d.conv2d_valid_s2d(p, xp, r=r)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+        x = jax.random.uniform(jax.random.fold_in(k, 2), (2, 24, 40, 8))
+        assert s2d.applicable_reflect(x, p["w"], r=r)
+        ref = conv2d(p, reflect_pad(x, 3), 1, "VALID")
+        got = s2d.conv2d_reflect_s2d(p, x, r=r)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+        g1 = jax.grad(lambda xx: jnp.sum(jnp.square(
+            conv2d(p, reflect_pad(xx, 3), 1, "VALID"))))(x)
+        g2 = jax.grad(lambda xx: jnp.sum(jnp.square(
+            s2d.conv2d_reflect_s2d(p, xx, r=r))))(x)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_s2d_best_block():
+    from sggan_tpu.ops import s2d
+    # k=7, cout=3 at 256x512: 4x8 beats 4x4 (186 vs 266 relative cost)
+    assert s2d.best_block(7, 3, 256, 512) == (4, 8)
+    # lane cap: cout=34 allows at most rh*rw <= 3 -> 1x2 or 2x1
+    rh, rw = s2d.best_block(7, 34, 256, 512)
+    assert rh * rw * 34 <= 128
+    # divisibility respected
+    assert s2d.best_block(7, 3, 30, 30)[0] in (1, 2)
