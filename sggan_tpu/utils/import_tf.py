@@ -1,0 +1,94 @@
+"""Import a reference TF2 checkpoint into this framework's checkpoint
+layout — the migration path for users bringing trained SG-GAN-TF2 models.
+
+The reference saves ``Model.save_weights`` TensorBundle checkpoints under
+``checkpoint/<dataset>/{gen,disc}/cp-NNNN.ckpt`` (model.py:450-467).
+This tool reads those directly (first-party TensorBundle codec,
+utils/tf_bundle.py — no TensorFlow needed), or a ``.npz`` of the flat
+``keras_model.get_weights()`` list (export recipe in utils/tf_weights.py),
+maps the weights onto our param trees (layer-order maps validated against
+module.py:125-318), and writes a standard orbax checkpoint that
+``--phase test``, ``--continue_train`` and ``serve`` consume as-is
+(optimizer state freshly initialized, step 0).
+
+    python -m sggan_tpu.utils.import_tf \
+        --gen_src  /path/checkpoint/city/gen/cp-0021.ckpt  \
+        [--disc_src /path/checkpoint/city/disc/cp-0021.ckpt] \
+        [--epoch_tag 21] <main.py flags, e.g. --dataset_dir city>
+
+Supported nets: resnet / unet generators and the semantic discriminator
+(the reference's pix2pix nets carry Keras BatchNorm running stats whose
+flat order interleaves non-trainables; import those via npz +
+``assign_flat_weights`` with a hand-built layout if ever needed).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import re
+
+
+def import_checkpoint(cfg, gen_src: str, disc_src: str = None,
+                      epoch_tag: int = 0):
+    """Build a fresh TrainState, overwrite generator (and optionally
+    discriminator) params with the TF weights, save under
+    cfg.checkpoint_dir/<dataset>/.  Returns the state."""
+    import jax
+
+    from ..train.step import init_state
+    from . import checkpoint as ckpt
+    from . import tf_weights
+
+    if cfg.use_pix2pix:
+        raise NotImplementedError(
+            "TF import supports the resnet/unet generators and the "
+            "semantic discriminator (see module docstring)")
+    net = "resnet" if cfg.use_resnet else "unet"
+    state = init_state(cfg, jax.random.PRNGKey(cfg.data_seed))
+
+    def load(src, which, params, **kw):
+        if src.endswith(".npz"):
+            return tf_weights.load_npz_weights(src, which, params, **kw)
+        return tf_weights.load_bundle_weights(src, which, params, **kw)
+
+    gp = load(gen_src, net, state.gen_params)
+    state = state._replace(gen_params=gp)
+    if state.ema is not None:
+        # the imported weights are the best estimate — restart the shadow
+        state = state._replace(ema=jax.tree.map(lambda a: a.copy(), gp))
+    if disc_src:
+        n_valid = len([k for k in state.disc_params
+                       if re.fullmatch(r"v\d+", k)])
+        dp = load(disc_src, "discriminator", state.disc_params,
+                  n_valid=n_valid)
+        state = state._replace(disc_params=dp)
+    ckpt.save(state, cfg.checkpoint_dir, cfg.dataset_dir, epoch_tag)
+    return state
+
+
+def main(argv=None):
+    from ..config import Config, build_parser
+
+    p = build_parser()
+    p.add_argument("--gen_src", required=True,
+                   help="generator TF checkpoint: TensorBundle prefix "
+                        "(…/gen/cp-NNNN.ckpt) or get_weights() .npz")
+    p.add_argument("--disc_src", default=None,
+                   help="optional discriminator TF checkpoint")
+    p.add_argument("--epoch_tag", type=int, default=0,
+                   help="epoch number for the written cp-NNNN")
+    ns = p.parse_args(argv)
+    fields = {f.name for f in dataclasses.fields(Config)}
+    cfg = Config(**{k: v for k, v in vars(ns).items()
+                    if k in fields}).validate()
+    import_checkpoint(cfg, ns.gen_src, ns.disc_src, ns.epoch_tag)
+    print(json.dumps({"ok": True, "checkpoint_dir": cfg.checkpoint_dir,
+                      "dataset": cfg.dataset_dir,
+                      "epoch": ns.epoch_tag,
+                      "net": "resnet" if cfg.use_resnet else "unet",
+                      "disc": bool(ns.disc_src)}))
+
+
+if __name__ == "__main__":
+    main()

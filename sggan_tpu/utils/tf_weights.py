@@ -74,24 +74,25 @@ _LAYOUTS = {
 }
 
 
-def load_npz_weights(path_or_file, net: str, params):
+def load_npz_weights(path_or_file, net: str, params, **layout_kw):
     """Fill the param tree `params` (from models.*.init) with weights from
     the npz flat list.  Shapes are validated leaf by leaf."""
     data = np.load(path_or_file)
     flat = [data[f"w{i}"] for i in range(len(data.files))]
-    return assign_flat_weights(flat, net, params)
+    return assign_flat_weights(flat, net, params, **layout_kw)
 
 
-def load_bundle_weights(prefix: str, net: str, params):
+def load_bundle_weights(prefix: str, net: str, params, **layout_kw):
     """Load a reference ``Model.save_weights`` TensorBundle checkpoint
     (e.g. checkpoint/<ds>/gen/cp-0021.ckpt) directly — no TF, no npz
     export step (tf_bundle.py)."""
     from .tf_bundle import keras_weights
-    return assign_flat_weights(keras_weights(prefix), net, params)
+    return assign_flat_weights(keras_weights(prefix), net, params,
+                               **layout_kw)
 
 
-def assign_flat_weights(flat, net: str, params):
-    layout = _LAYOUTS[net]()
+def assign_flat_weights(flat, net: str, params, **layout_kw):
+    layout = _LAYOUTS[net](**layout_kw)
     if len(flat) != len(layout):
         raise ValueError(
             f"{net}: expected {len(layout)} weights, got {len(flat)}")
