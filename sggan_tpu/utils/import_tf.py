@@ -16,10 +16,11 @@ module.py:125-318), and writes a standard orbax checkpoint that
         [--disc_src /path/checkpoint/city/disc/cp-0021.ckpt] \
         [--epoch_tag 21] <main.py flags, e.g. --dataset_dir city>
 
-Supported nets: resnet / unet generators and the semantic discriminator
-(the reference's pix2pix nets carry Keras BatchNorm running stats whose
-flat order interleaves non-trainables; import those via npz +
-``assign_flat_weights`` with a hand-built layout if ever needed).
+All five nets are supported: resnet / unet generators + the semantic
+discriminator (single param tree), and the pix2pix generator /
+discriminator, whose Keras BatchNorm layers interleave running stats in
+the flat order — those route into the functional BN-state tree
+(tf_weights.pix2pix_*_layout).
 """
 
 from __future__ import annotations
@@ -40,11 +41,6 @@ def import_checkpoint(cfg, gen_src: str, disc_src: str = None,
     from . import checkpoint as ckpt
     from . import tf_weights
 
-    if cfg.use_pix2pix:
-        raise NotImplementedError(
-            "TF import supports the resnet/unet generators and the "
-            "semantic discriminator (see module docstring)")
-    net = "resnet" if cfg.use_resnet else "unet"
     state = init_state(cfg, jax.random.PRNGKey(cfg.data_seed))
 
     def load(src, which, params, **kw):
@@ -52,17 +48,29 @@ def import_checkpoint(cfg, gen_src: str, disc_src: str = None,
             return tf_weights.load_npz_weights(src, which, params, **kw)
         return tf_weights.load_bundle_weights(src, which, params, **kw)
 
-    gp = load(gen_src, net, state.gen_params)
-    state = state._replace(gen_params=gp)
+    if cfg.use_pix2pix:
+        gp, gbn = tf_weights.load_pix2pix_weights(
+            gen_src, "gen", state.gen_params, state.gen_bn,
+            image_size=cfg.image_height)
+        state = state._replace(gen_params=gp, gen_bn=gbn)
+        if disc_src:
+            dp, dbn = tf_weights.load_pix2pix_weights(
+                disc_src, "disc", state.disc_params, state.disc_bn)
+            state = state._replace(disc_params=dp, disc_bn=dbn)
+    else:
+        net = "resnet" if cfg.use_resnet else "unet"
+        gp = load(gen_src, net, state.gen_params)
+        state = state._replace(gen_params=gp)
+        if disc_src:
+            n_valid = len([k for k in state.disc_params
+                           if re.fullmatch(r"v\d+", k)])
+            dp = load(disc_src, "discriminator", state.disc_params,
+                      n_valid=n_valid)
+            state = state._replace(disc_params=dp)
     if state.ema is not None:
         # the imported weights are the best estimate — restart the shadow
-        state = state._replace(ema=jax.tree.map(lambda a: a.copy(), gp))
-    if disc_src:
-        n_valid = len([k for k in state.disc_params
-                       if re.fullmatch(r"v\d+", k)])
-        dp = load(disc_src, "discriminator", state.disc_params,
-                  n_valid=n_valid)
-        state = state._replace(disc_params=dp)
+        state = state._replace(
+            ema=jax.tree.map(lambda a: a.copy(), state.gen_params))
     ckpt.save(state, cfg.checkpoint_dir, cfg.dataset_dir, epoch_tag)
     return state
 
@@ -86,7 +94,8 @@ def main(argv=None):
     print(json.dumps({"ok": True, "checkpoint_dir": cfg.checkpoint_dir,
                       "dataset": cfg.dataset_dir,
                       "epoch": ns.epoch_tag,
-                      "net": "resnet" if cfg.use_resnet else "unet",
+                      "net": ("pix2pix" if cfg.use_pix2pix else
+                              "resnet" if cfg.use_resnet else "unet"),
                       "disc": bool(ns.disc_src)}))
 
 

@@ -74,6 +74,80 @@ _LAYOUTS = {
 }
 
 
+# ---- pix2pix nets: Keras BatchNorm interleaves running stats ----------
+# Keras `Model.get_weights()` lists each layer's variables in creation
+# order, trainables first WITHIN the layer: a BatchNormalization layer
+# contributes [gamma, beta, moving_mean, moving_variance].  The pix2pix
+# nets are the only reference models with BN (module.py:14-46), so their
+# layouts route each weight into either the param tree ("p") or the
+# functional BN-state tree ("s").
+
+def _bn4(path: str) -> List[Tuple[str, str]]:
+    return [("p", path + "/gamma"), ("p", path + "/beta"),
+            ("s", path + "/moving_mean"), ("s", path + "/moving_var")]
+
+
+def pix2pix_gen_layout(image_size: int = 128) -> List[Tuple[str, str]]:
+    """generator_pix2pix weight order (module.py:48-95): n_down = log2(H)
+    downsample convs (BN from the second), n_down-1 upsample convTs with
+    BN, biased convT head (models/generator_pix2pix._plan)."""
+    import math
+    n_down = int(math.log2(image_size))
+    out: List[Tuple[str, str]] = [("p", "down0/w")]
+    for i in range(1, n_down):
+        out += [("p", f"down{i}/w")] + _bn4(f"down{i}_bn")
+    for i in range(n_down - 1):
+        out += [("p", f"up{i}/w")] + _bn4(f"up{i}_bn")
+    out += [("p", "last/w"), ("p", "last/b")]
+    return out
+
+
+def pix2pix_disc_layout() -> List[Tuple[str, str]]:
+    """discriminator_pix2pix weight order (module.py:97-123)."""
+    out: List[Tuple[str, str]] = [("p", "down0/w")]
+    for i in (1, 2):
+        out += [("p", f"down{i}/w")] + _bn4(f"down{i}_bn")
+    out += [("p", "conv/w")] + _bn4("conv_bn")
+    out += [("p", "last/w"), ("p", "last/b")]
+    return out
+
+
+def assign_flat_weights_bn(flat, layout, params, bn_state):
+    """Like assign_flat_weights, but each layout entry ("p"|"s", path)
+    routes into the param tree or the BN running-stats tree.  Returns
+    (new_params, new_bn_state)."""
+    if len(flat) != len(layout):
+        raise ValueError(
+            f"expected {len(layout)} weights, got {len(flat)}")
+    new_p, new_s = _copy_tree(params), _copy_tree(bn_state)
+    for w, (tree, path) in zip(flat, layout):
+        node = new_p if tree == "p" else new_s
+        parts = path.split("/")
+        for q in parts[:-1]:
+            node = node[q]
+        leaf = parts[-1]
+        if tuple(node[leaf].shape) != tuple(np.shape(w)):
+            raise ValueError(
+                f"{path}: shape {np.shape(w)} != expected "
+                f"{node[leaf].shape}")
+        node[leaf] = jnp.asarray(w, dtype=node[leaf].dtype)
+    return new_p, new_s
+
+
+def load_pix2pix_weights(src, which: str, params, bn_state,
+                         image_size: int = 128):
+    """which: "gen" | "disc"; src: npz path or TensorBundle prefix."""
+    layout = pix2pix_gen_layout(image_size) if which == "gen" \
+        else pix2pix_disc_layout()
+    if str(src).endswith(".npz"):
+        data = np.load(src)
+        flat = [data[f"w{i}"] for i in range(len(data.files))]
+    else:
+        from .tf_bundle import keras_weights
+        flat = keras_weights(src)
+    return assign_flat_weights_bn(flat, layout, params, bn_state)
+
+
 def load_npz_weights(path_or_file, net: str, params, **layout_kw):
     """Fill the param tree `params` (from models.*.init) with weights from
     the npz flat list.  Shapes are validated leaf by leaf."""

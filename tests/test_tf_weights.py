@@ -112,3 +112,67 @@ def test_import_tf_cli_roundtrip(tmp_path):
     y = generator_resnet.apply(restored.gen_params,
                                jnp.zeros((1, 32, 32, 3)))
     assert y.shape == (1, 32, 32, 3)
+
+
+def test_import_tf_pix2pix_with_bn_stats(tmp_path):
+    """pix2pix import: Keras BN layers interleave [gamma, beta,
+    moving_mean, moving_var] in the flat order; the layout must route
+    stats into the functional BN-state tree and params into the param
+    tree, for generator AND discriminator."""
+    from sggan_tpu.config import Config
+    from sggan_tpu.models import discriminator_pix2pix, generator_pix2pix
+    from sggan_tpu.train.step import init_state
+    from sggan_tpu.utils import checkpoint as ckpt
+    from sggan_tpu.utils import import_tf
+
+    cfg = Config(dataset_dir="city", checkpoint_dir=str(tmp_path / "ckpt"),
+                 use_pix2pix=True, ngf=4, ndf=4, segment_class=8,
+                 image_height=64, image_width=64,
+                 compute_dtype="float32").validate()
+    gp, gbn = generator_pix2pix.init(jax.random.PRNGKey(0), ngf=4,
+                                     image_size=64)
+    layout = tf_weights.pix2pix_gen_layout(64)
+    rng = np.random.default_rng(1)
+    flat = []
+    for tree, path in layout:
+        node = gp if tree == "p" else gbn
+        for q in path.split("/")[:-1]:
+            node = node[q]
+        flat.append(rng.normal(size=node[path.split("/")[-1]].shape)
+                    .astype(np.float32))
+    gen_npz = tmp_path / "gen.npz"
+    np.savez(gen_npz, **{f"w{i}": w for i, w in enumerate(flat)})
+
+    dp, dbn = discriminator_pix2pix.init(jax.random.PRNGKey(1), ndf=4)
+    lay_d = tf_weights.pix2pix_disc_layout()
+    flat_d = []
+    for tree, path in lay_d:
+        node = dp if tree == "p" else dbn
+        for q in path.split("/")[:-1]:
+            node = node[q]
+        flat_d.append(rng.normal(size=node[path.split("/")[-1]].shape)
+                      .astype(np.float32))
+    disc_npz = tmp_path / "disc.npz"
+    np.savez(disc_npz, **{f"w{i}": w for i, w in enumerate(flat_d)})
+
+    import_tf.import_checkpoint(cfg, str(gen_npz), str(disc_npz),
+                                epoch_tag=3)
+    template = init_state(cfg, jax.random.PRNGKey(9))
+    restored = ckpt.load(template, cfg.checkpoint_dir, cfg.dataset_dir)
+    assert restored is not None
+    # params and BN stats both carry imported values
+    np.testing.assert_array_equal(
+        np.asarray(restored.gen_params["down0"]["w"]), flat[0])
+    mm_idx = layout.index(("s", "down1_bn/moving_mean"))
+    np.testing.assert_array_equal(
+        np.asarray(restored.gen_bn["down1_bn"]["moving_mean"]),
+        flat[mm_idx])
+    np.testing.assert_array_equal(
+        np.asarray(restored.disc_params["last"]["b"]), flat_d[-1])
+    np.testing.assert_array_equal(
+        np.asarray(restored.disc_bn["conv_bn"]["moving_var"]),
+        flat_d[lay_d.index(("s", "conv_bn/moving_var"))])
+    # forward runs with imported weights + stats
+    y, _ = generator_pix2pix.apply(restored.gen_params, restored.gen_bn,
+                                   jnp.zeros((1, 64, 64, 3)), ngf=4)
+    assert y.shape == (1, 64, 64, 3)
