@@ -172,9 +172,10 @@ class Config:
     # A standard GAN stabilization lever with no reference counterpart:
     # training updates the raw generator, eval/test/serving read the
     # exponentially-averaged one.  One cheap fused elementwise pass per
-    # step; supported for the single-direction (p2p/sggan/simple) and
-    # cycle steps (the cycle shadow covers BOTH generators),
-    # single-device or dp mesh.
+    # step; supported for every loss mode and mesh kind (the cycle
+    # shadow covers BOTH generators; under shard_map the update runs on
+    # the pmean'd-gradient params, so the shadow stays replica-
+    # identical).
     gen_ema: float = 0.0
     # When set, the trainer traces a short window of train dispatches
     # with jax.profiler into this directory (first dispatch excluded so
@@ -257,11 +258,6 @@ class Config:
         if self.gen_ema:
             if not (0.0 < self.gen_ema < 1.0):
                 raise ValueError(f"gen_ema={self.gen_ema} must be in (0,1)")
-            if self.mesh_space > 1:
-                raise ValueError(
-                    "gen_ema supports the single-direction and cycle "
-                    "steps on a single device or dp mesh (not "
-                    "mesh_space > 1)")
         if self.compat_fake_history and (
                 self.mesh_data > 1 or self.mesh_space > 1):
             # the concat-to-10-then-reset history reproduces single-device

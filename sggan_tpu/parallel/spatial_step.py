@@ -37,7 +37,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .. import losses
 from ..models import discriminator
 from ..train.pool import PoolState, pool_init, pool_update
-from ..train.step import TrainState, _dtype, _tx
+from ..train.step import TrainState, _dtype, _ema_update, _tx
 from .mesh import DATA_AXIS, SPACE_AXIS, WSPACE_AXIS
 from . import spatial
 
@@ -57,8 +57,9 @@ def init_sp_state(cfg, key, n_data: int = 1) -> TrainState:
                                               input_nc=cfg.input_nc)
         pool = pool_init(1 * n_data, (h, w, cfg.output_nc),
                          dtype=_dtype(cfg))  # p2p: unused
+        ema = jax.tree.map(jnp.copy, gp) if cfg.gen_ema > 0 else None
         return TrainState(gp, gbn, dpp, dbn, tx.init(gp), tx.init(dpp),
-                          pool, jnp.zeros((), jnp.int32))
+                          pool, jnp.zeros((), jnp.int32), ema)
     if cfg.use_resnet:
         gp = generator_resnet.init(kg, ngf=cfg.ngf, input_nc=cfg.input_nc,
                                    output_nc=cfg.output_nc)
@@ -77,8 +78,9 @@ def init_sp_state(cfg, key, n_data: int = 1) -> TrainState:
                      {"fake": (h, w, cfg.output_nc),
                       "mask": (hm, wm, cfg.segment_class)},
                      dtype=_dtype(cfg))
+    ema = jax.tree.map(jnp.copy, gp) if cfg.gen_ema > 0 else None
     return TrainState(gp, {}, dp, {}, tx.init(gp), tx.init(dp), pool,
-                      jnp.zeros((), jnp.int32))
+                      jnp.zeros((), jnp.int32), ema)
 
 
 def build_sp_step_fn(cfg, data_axis: str = DATA_AXIS,
@@ -163,7 +165,8 @@ def build_sp_step_fn(cfg, data_axis: str = DATA_AXIS,
             state.disc_params, jax.tree.map(lambda u: -lr * u, d_upd))
 
         new_state = TrainState(gen_params, {}, disc_params, {}, g_opt,
-                               d_opt, new_pool, state.step + 1)
+                               d_opt, new_pool, state.step + 1,
+                               _ema_update(cfg, state.ema, gen_params))
         return new_state, {"gen_loss": g_loss, "disc_loss": d_loss}
 
     return step_fn
@@ -232,7 +235,8 @@ def _build_sp_step_p2p_pix2pix(cfg, data_axis: str, space_axis: str,
             state.disc_params, jax.tree.map(lambda u: -lr * u, d_upd))
 
         new_state = TrainState(gen_params, new_gbn, disc_params, new_dbn,
-                               g_opt, d_opt, state.pool, state.step + 1)
+                               g_opt, d_opt, state.pool, state.step + 1,
+                               _ema_update(cfg, state.ema, gen_params))
         return new_state, {"gen_loss": g_loss, "disc_loss": d_loss}
 
     return step_fn
@@ -260,6 +264,7 @@ def _sp_state_spec(mesh: Mesh) -> TrainState:
         g_opt=P(), d_opt=P(),
         pool=PoolState(buffer=buf, count=P()),
         step=P(),
+        ema=P(),  # replicated shadow (ignored when state.ema is None)
     )
 
 

@@ -255,3 +255,19 @@ def test_scan_non_memory_error_reraises(ds, tmp_path):
                    batch_size=1, device_dataset_mb=2048, scan_steps=2)
     with pytest.raises(RuntimeError, match="unrelated"):
         BrokenScanTrainer(cfg).train()
+
+
+def test_gen_ema_spatial_mesh(ds, tmp_path):
+    """EMA on a (data x space) mesh: the shadow rides the shard_mapped
+    state (replicated spec), updates after the pmean'd Adam step, and
+    eval reads it."""
+    import jax
+
+    cfg = base_cfg(ds, tmp_path, loss_mode="sggan", use_resnet=True,
+                   gen_ema=0.9, mesh_data=2, mesh_space=2, batch_size=2)
+    t = Trainer(cfg)
+    res = t.train()
+    assert np.isfinite(res["gen_loss"])
+    ema_l = [np.asarray(l) for l in jax.tree.leaves(t.state.ema)]
+    raw_l = [np.asarray(l) for l in jax.tree.leaves(t.state.gen_params)]
+    assert any(not np.allclose(e, r) for e, r in zip(ema_l, raw_l))
