@@ -57,6 +57,10 @@ def probe_memory(cfg, source_hw: Optional[Tuple[int, int]] = None,
 
     if kind == "auto":
         kind = "scan" if cfg.scan_steps > 1 else "step"
+    if cfg.loss_mode == "cycle" and kind in ("scan", "step"):
+        raise ValueError(
+            "cycle training feeds through the host iterator (no fused "
+            "scan/step program exists to probe); use --probe_kind eval")
     sh, sw = source_hw or (cfg.image_height, cfg.image_width)
     tr = Trainer(cfg)
     state_sds = jax.tree.map(lambda x: _sds(x.shape, x.dtype), tr.state)

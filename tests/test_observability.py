@@ -189,3 +189,16 @@ def test_hbm_probe_plumbing(tmp_path):
         assert out["total_bytes"] > 0, out
     auto = probe_memory(cfg, n_items=4)
     assert auto["kind"] == "scan"  # scan_steps=2 -> auto picks scan
+
+
+def test_hbm_probe_cycle_guard(tmp_path):
+    from sggan_tpu.config import Config
+    from sggan_tpu.utils.hbm import probe_memory
+
+    cfg = Config(dataset_dir=str(tmp_path), loss_mode="cycle",
+                 use_resnet=True, batch_size=1, image_height=32,
+                 image_width=32, ngf=4, ndf=4, segment_class=8,
+                 compute_dtype="float32").validate()
+    import pytest
+    with pytest.raises(ValueError, match="host iterator"):
+        probe_memory(cfg, n_items=2, kind="scan")
