@@ -366,7 +366,12 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def parse_args(argv=None) -> Config:
-    ns = build_parser().parse_args(argv)
+def config_from_namespace(ns) -> Config:
+    """Config from an argparse namespace, ignoring non-Config extras —
+    the one filtering point for every CLI that extends build_parser()."""
     fields = {f.name for f in dataclasses.fields(Config)}
     return Config(**{k: v for k, v in vars(ns).items() if k in fields})
+
+
+def parse_args(argv=None) -> Config:
+    return config_from_namespace(build_parser().parse_args(argv))

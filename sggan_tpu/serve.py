@@ -18,7 +18,6 @@ the deployment surface expected of a production framework.
 
 from __future__ import annotations
 
-import dataclasses
 import io
 import json
 import os
@@ -30,7 +29,7 @@ import jax
 import numpy as np
 from PIL import Image
 
-from .config import Config, build_parser
+from .config import Config, build_parser, config_from_namespace
 
 
 def export_artifact(cfg: Config, path: str) -> bool:
@@ -164,8 +163,7 @@ def main(argv=None):
     p.add_argument("--export", action="store_true",
                    help="export the artifact to --artifact and exit")
     ns = p.parse_args(argv)
-    fields = {f.name for f in dataclasses.fields(Config)}
-    cfg = Config(**{k: v for k, v in vars(ns).items() if k in fields})
+    cfg = config_from_namespace(ns)
     if ns.export:
         if not ns.artifact:
             p.error("--export requires --artifact PATH")

@@ -312,13 +312,17 @@ class Trainer:
 
     @staticmethod
     def _is_hbm_failure(e: Exception) -> bool:
-        """Compile/alloc failure signatures through XLA and this
-        environment's remote-compile service (HTTP 500 from
-        tpu_compile_helper on HBM overflow)."""
+        """MEMORY-failure signatures: XLA's RESOURCE_EXHAUSTED / OOM
+        texts, plus remote-compile-service program-size rejections
+        (tpu_compile_helper returns HTTP 500 for both, with the OOM dump
+        attached when it is one).  Deliberately NOT a bare "compil"
+        match — a generic compile error must re-raise, not be
+        misdiagnosed as HBM overflow and silently fall back."""
         s = str(e).lower()
         return any(t in s for t in (
             "out of memory", "resource_exhausted", "resource exhausted",
-            "compil", "allocat"))
+            "memory space hbm", "exceeds the limit", "hbm oom",
+            "tpu_compile_helper"))
 
     def _run_epoch_fused(self, epoch, lr, dev_ds, fused, fused_scan,
                          g_losses, d_losses, global_step, start_time):

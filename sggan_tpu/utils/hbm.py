@@ -62,7 +62,17 @@ def probe_memory(cfg, source_hw: Optional[Tuple[int, int]] = None,
             "cycle training feeds through the host iterator (no fused "
             "scan/step program exists to probe); use --probe_kind eval")
     sh, sw = source_hw or (cfg.image_height, cfg.image_width)
-    tr = Trainer(cfg)
+    # Build the Trainer (whose jit wrappers we lower) with its state
+    # allocated on HOST CPU: state init would otherwise run as real
+    # device programs on the probed backend — several remote compiles
+    # and a full state allocation before the one compile we want.  The
+    # lowered programs still target the default backend (we pass only
+    # ShapeDtypeStructs).  Mesh configs still place state on the mesh.
+    if cfg.mesh_data <= 1 and cfg.mesh_space <= 1:
+        with jax.default_device(jax.devices("cpu")[0]):
+            tr = Trainer(cfg)
+    else:
+        tr = Trainer(cfg)
     state_sds = jax.tree.map(lambda x: _sds(x.shape, x.dtype), tr.state)
     img = _sds((n_items, sh, sw, 3), jnp.uint8)
     cls = _sds((n_items, sh, sw), jnp.uint8)
@@ -113,9 +123,7 @@ def probe_memory(cfg, source_hw: Optional[Tuple[int, int]] = None,
 
 
 def main(argv=None):
-    import dataclasses
-
-    from ..config import Config, build_parser
+    from ..config import config_from_namespace, build_parser
 
     p = build_parser()
     p.add_argument("--probe_kind", default="auto",
@@ -126,9 +134,7 @@ def main(argv=None):
                    help="decoded source HxW, e.g. 1024x2048 "
                         "(default: the training resolution)")
     ns = p.parse_args(argv)
-    fields = {f.name for f in dataclasses.fields(Config)}
-    cfg = Config(**{k: v for k, v in vars(ns).items()
-                    if k in fields}).validate()
+    cfg = config_from_namespace(ns).validate()
     src = None
     if ns.probe_src:
         h, w = ns.probe_src.lower().split("x")

@@ -25,7 +25,6 @@ the flat order — those route into the functional BN-state tree
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import re
 
@@ -41,6 +40,11 @@ def import_checkpoint(cfg, gen_src: str, disc_src: str = None,
     from . import checkpoint as ckpt
     from . import tf_weights
 
+    if cfg.loss_mode == "cycle":
+        raise NotImplementedError(
+            "the reference trains single-direction models only — there is "
+            "no two-generator TF checkpoint to import; train cycle mode "
+            "from scratch or import into a single-direction config")
     state = init_state(cfg, jax.random.PRNGKey(cfg.data_seed))
 
     def load(src, which, params, **kw):
@@ -76,7 +80,7 @@ def import_checkpoint(cfg, gen_src: str, disc_src: str = None,
 
 
 def main(argv=None):
-    from ..config import Config, build_parser
+    from ..config import build_parser, config_from_namespace
 
     p = build_parser()
     p.add_argument("--gen_src", required=True,
@@ -87,9 +91,7 @@ def main(argv=None):
     p.add_argument("--epoch_tag", type=int, default=0,
                    help="epoch number for the written cp-NNNN")
     ns = p.parse_args(argv)
-    fields = {f.name for f in dataclasses.fields(Config)}
-    cfg = Config(**{k: v for k, v in vars(ns).items()
-                    if k in fields}).validate()
+    cfg = config_from_namespace(ns).validate()
     import_checkpoint(cfg, ns.gen_src, ns.disc_src, ns.epoch_tag)
     print(json.dumps({"ok": True, "checkpoint_dir": cfg.checkpoint_dir,
                       "dataset": cfg.dataset_dir,

@@ -166,21 +166,8 @@ def load_bundle_weights(prefix: str, net: str, params, **layout_kw):
 
 
 def assign_flat_weights(flat, net: str, params, **layout_kw):
-    layout = _LAYOUTS[net](**layout_kw)
-    if len(flat) != len(layout):
-        raise ValueError(
-            f"{net}: expected {len(layout)} weights, got {len(flat)}")
-    new = _copy_tree(params)
-    for w, (path, _) in zip(flat, layout):
-        node = new
-        parts = path.split("/")
-        for p in parts[:-1]:
-            node = node[p]
-        leaf = parts[-1]
-        if tuple(node[leaf].shape) != tuple(w.shape):
-            raise ValueError(
-                f"{path}: shape {w.shape} != expected {node[leaf].shape}")
-        node[leaf] = jnp.asarray(w, dtype=node[leaf].dtype)
+    layout = [("p", path) for path, _ in _LAYOUTS[net](**layout_kw)]
+    new, _ = assign_flat_weights_bn(flat, layout, params, {})
     return new
 
 
