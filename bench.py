@@ -214,5 +214,38 @@ def bench():
     }))
 
 
+def _backend_error(timeout_s: int = 1200):
+    """Bounded backend-init check: this container's remote TPU tunnel can
+    go UNAVAILABLE (backend init then blocks for tens of minutes before
+    raising).  Returns an error string instead of letting the bench hang
+    or die without emitting its JSON line."""
+    import signal
+
+    def handler(signum, frame):
+        raise TimeoutError(f"backend init exceeded {timeout_s}s")
+
+    old = signal.signal(signal.SIGALRM, handler)
+    signal.alarm(timeout_s)
+    try:
+        import jax
+        jax.devices()
+        return None
+    except Exception as e:
+        return f"{type(e).__name__}: {e}"[:300]
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 if __name__ == "__main__":
-    bench()
+    err = _backend_error()
+    if err is None:
+        bench()
+    else:
+        print(f"backend unavailable: {err}", file=sys.stderr)
+        print(json.dumps({
+            "metric": "sggan_train_step_images_per_sec_per_chip_256x512",
+            "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
+            "error": f"device backend unavailable, not a perf result: "
+                     f"{err}",
+        }))
