@@ -183,6 +183,12 @@ class Config:
     # scalar.  Empty disables.  (SURVEY §5: the reference has no
     # tracing/profiling at all.)
     profile_dir: str = ""
+    # Evaluate (test_during_train) every Nth epoch instead of every
+    # epoch (reference behavior = 1, model.py:264).  Through this
+    # environment's remote relay the 3-convention eval + its compile
+    # dominates short-run wall clock (QUALITY.md) — raising this trades
+    # curve resolution for wall time.  The final epoch always evals.
+    eval_freq: int = 1
     log_dir: str = "logs"
 
     # ---- derived ----
@@ -242,6 +248,8 @@ class Config:
                              "drop --use_pix2pix")
         if self.scan_steps < 1:
             raise ValueError("scan_steps must be >= 1")
+        if self.eval_freq < 1:
+            raise ValueError("eval_freq must be >= 1")
         if self.sggan_l1_target not in ("real", "seg"):
             # argparse enforces choices; programmatic Configs must not be
             # able to fall through to the collapsing "real" anchor silently
@@ -359,6 +367,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gen_ema", type=float, default=d.gen_ema,
                    help="EMA decay for a shadow generator used at "
                         "eval/test/serving; 0 disables")
+    p.add_argument("--eval_freq", type=int, default=d.eval_freq,
+                   help="run the epoch-end eval every N epochs (1 = every "
+                        "epoch, the reference behavior; the final epoch "
+                        "always evals)")
     p.add_argument("--profile_dir", default=d.profile_dir,
                    help="jax.profiler trace dir for a short train-step "
                         "window; empty disables")

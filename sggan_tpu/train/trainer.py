@@ -580,7 +580,12 @@ class Trainer:
                 # interval covers real execution
                 rate = self._timer.read(d_losses[-1]) if d_losses else None
 
-                fake_concat, score = self.test_during_train(epoch, writer)
+                # --eval_freq N: eval every Nth epoch (and always the
+                # last); default 1 = the reference's every-epoch eval
+                do_eval = (epoch % cfg.eval_freq == 0
+                           or epoch == cfg.epoch - 1)
+                fake_concat, score = (self.test_during_train(epoch, writer)
+                                      if do_eval else (None, None))
                 if fake_concat is not None and writer is not None:
                     writer.image(f"Segmentation Epoch {epoch}", fake_concat,
                                  step=epoch)

@@ -271,3 +271,19 @@ def test_gen_ema_spatial_mesh(ds, tmp_path):
     ema_l = [np.asarray(l) for l in jax.tree.leaves(t.state.ema)]
     raw_l = [np.asarray(l) for l in jax.tree.leaves(t.state.gen_params)]
     assert any(not np.allclose(e, r) for e, r in zip(ema_l, raw_l))
+
+
+def test_eval_freq(ds, tmp_path):
+    """--eval_freq N: epoch-end eval runs every Nth epoch plus the final
+    one; the eval scalars land only for those epochs."""
+    from sggan_tpu.utils.summary import read_scalars
+
+    cfg = base_cfg(ds, tmp_path, epoch=4, eval_freq=3)
+    res = Trainer(cfg).train()
+    assert res["score"] is not None  # final epoch always evals
+    run = os.path.join(cfg.log_dir, os.listdir(cfg.log_dir)[0], "train")
+    events = [os.path.join(run, f) for f in os.listdir(run)
+              if "tfevents" in f]
+    scalars = read_scalars(events[0])
+    steps = sorted(s for s, _ in scalars["Mean IoU"])
+    assert steps == [0, 3]  # epochs 0 (freq) and 3 (final)
