@@ -93,12 +93,15 @@ def apply(params, x, compute_dtype=None, use_pallas=None, rng=None,
     # lane waste at N=3; reflect handled pad-free (strided conv padding +
     # border strips — no padded activation in fwd OR bwd; ops/s2d.py)
     from ..ops import s2d
-    if pad_free_head and s2d.applicable_reflect(y, params["out"]["w"]):
-        y = s2d.conv2d_reflect_s2d(params["out"], y, compute_dtype=cd)
+    kh, _, _, cout = params["out"]["w"].shape
+    r = s2d.best_block(kh, cout, y.shape[1], y.shape[2])
+    if r[0] * r[1] > 1 and pad_free_head and \
+            s2d.applicable_reflect(y, params["out"]["w"], r=r):
+        y = s2d.conv2d_reflect_s2d(params["out"], y, r=r, compute_dtype=cd)
     else:
         y = reflect_pad(y, 3)
-        if s2d.applicable(y, params["out"]["w"]):
-            y = s2d.conv2d_valid_s2d(params["out"], y, compute_dtype=cd)
+        if r[0] * r[1] > 1 and s2d.applicable(y, params["out"]["w"], r=r):
+            y = s2d.conv2d_valid_s2d(params["out"], y, r=r, compute_dtype=cd)
         else:
             y = conv2d(params["out"], y, 1, "VALID", cd)
     return tanh(y.astype(jnp.float32))

@@ -6,12 +6,19 @@ training run, the whole relaunch).  This tool compiles the EXACT program
 a config would run — the fused gather+preprocess+step, its
 ``--scan_steps`` lax.scan chunk, or the eval generator forward — from
 abstract ``ShapeDtypeStruct`` inputs: no dataset is uploaded and nothing
-executes, so a probe is safe and costs only the compile.  XLA's
-``memory_analysis`` of the resulting executable gives the peak
-temp/argument/output split, answering "does this config fit?" before a
-multi-hour run is launched.
+executes, so a probe is safe and costs only the compile.
 
-The numbers are BACKEND-SPECIFIC: probe on the device you will train on
+THE FIT VERDICT IS COMPILE SUCCESS.  TPU memory assignment is static:
+a program that exceeds HBM fails AT COMPILE TIME with "Ran out of
+memory in memory space hbm" (that error carries the exact used/limit
+bytes, which this probe parses into the result).  A probe that
+compiles therefore FITS.  XLA's ``memory_analysis`` byte split is
+reported as supplementary accounting only — measured on this chip it
+OVERCOUNTS the true peak (temp + argument totals can exceed physical
+HBM on a program that compiles and runs, because donated argument
+buffers are reused for temporaries but still counted in both pools).
+
+The verdict is BACKEND-SPECIFIC: probe on the device you will train on
 (a CPU probe checks shapes/plumbing but says nothing about TPU HBM).
 
 CLI (same flags as main.py, plus probe controls):
@@ -20,8 +27,8 @@ CLI (same flags as main.py, plus probe controls):
         --loss_mode sggan --use_resnet --scan_steps 8 \
         --probe_items 100 --probe_src 1024x2048
 
-prints one JSON line with byte counts and, when the backend exposes a
-device memory size, the fit verdict.
+prints one JSON line: ``fits`` (the compile verdict), byte counts, and
+on an HBM-overflow failure the parsed used/limit bytes.
 
 No reference counterpart (the reference is eager and single-resolution);
 SURVEY §5 observability scope.
@@ -30,6 +37,7 @@ SURVEY §5 observability scope.
 from __future__ import annotations
 
 import json
+import re
 from typing import Optional, Tuple
 
 import jax
@@ -38,6 +46,19 @@ import jax.numpy as jnp
 
 def _sds(shape, dtype):
     return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def _parse_oom(msg: str) -> dict:
+    """Pull used/limit bytes out of a TPU compile-time OOM message
+    ('... Ran out of memory in memory space hbm. Used 15.75G of
+    15.75G ...')."""
+    m = re.search(r"[Uu]sed ([\d.]+)([GMK])i?B?.{0,8}?of "
+                  r"([\d.]+)([GMK])", msg)
+    if not m:
+        return {}
+    mul = {"K": 2 ** 10, "M": 2 ** 20, "G": 2 ** 30}
+    return {"oom_used_bytes": int(float(m.group(1)) * mul[m.group(2)]),
+            "oom_limit_bytes": int(float(m.group(3)) * mul[m.group(4)])}
 
 
 def probe_memory(cfg, source_hw: Optional[Tuple[int, int]] = None,
@@ -97,28 +118,35 @@ def probe_memory(cfg, source_hw: Optional[Tuple[int, int]] = None,
     else:
         raise ValueError(f"kind={kind!r} — scan/step/eval/auto")
 
-    compiled = lowered.compile()
-    ma = compiled.memory_analysis()
     out = {"kind": kind, "backend": jax.default_backend(),
            "source_hw": [sh, sw], "n_items": n_items}
+    try:
+        compiled = lowered.compile()
+    except Exception as e:  # TPU HBM overflow surfaces at compile time
+        msg = str(e)
+        if "out of memory" not in msg.lower():
+            raise
+        out["fits"] = False
+        out.update(_parse_oom(msg))
+        out["error"] = msg[:400]
+        return out
+    # Compile success IS the fit verdict on TPU (static memory
+    # assignment; see module docstring).  On CPU it says nothing.
+    if jax.default_backend() != "cpu":
+        out["fits"] = True
+    ma = compiled.memory_analysis()
     for f in ("temp_size_in_bytes", "argument_size_in_bytes",
               "output_size_in_bytes", "alias_size_in_bytes",
               "generated_code_size_in_bytes"):
         v = getattr(ma, f, None)
         if v is not None:
             out[f.replace("_size_in_bytes", "_bytes")] = int(v)
-    # peak HBM ~= arguments + outputs + temps - donated aliases
+    # Supplementary accounting only — overcounts donated-arg reuse (see
+    # module docstring); the sum can exceed physical HBM on a fitting
+    # program.
     known = [out.get(k2, 0) for k2 in
              ("temp_bytes", "argument_bytes", "output_bytes")]
     out["total_bytes"] = sum(known) - out.get("alias_bytes", 0)
-    try:
-        stats = jax.devices()[0].memory_stats() or {}
-        limit = stats.get("bytes_limit")
-        if limit:
-            out["device_bytes_limit"] = int(limit)
-            out["fits"] = out["total_bytes"] <= int(limit)
-    except Exception:
-        pass
     return out
 
 

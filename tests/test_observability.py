@@ -202,3 +202,17 @@ def test_hbm_probe_cycle_guard(tmp_path):
     import pytest
     with pytest.raises(ValueError, match="host iterator"):
         probe_memory(cfg, n_items=2, kind="scan")
+
+
+def test_hbm_oom_parse():
+    """The probe's fit verdict is compile success; on failure it parses
+    the TPU compiler's used/limit bytes out of the OOM message."""
+    from sggan_tpu.utils.hbm import _parse_oom
+
+    out = _parse_oom("XLA:TPU compile permanent error. Ran out of memory "
+                     "in memory space hbm. Used 15.75G of 15.75G hbm.")
+    assert out["oom_used_bytes"] == int(15.75 * 2 ** 30)
+    assert out["oom_limit_bytes"] == int(15.75 * 2 ** 30)
+    out = _parse_oom("used 900M of 16G")
+    assert out["oom_used_bytes"] == 900 * 2 ** 20
+    assert _parse_oom("some unrelated failure") == {}

@@ -323,8 +323,10 @@ def test_s2d_rectangular_blocks_match_direct():
 
 def test_s2d_best_block():
     from sggan_tpu.ops import s2d
-    # k=7, cout=3 at 256x512: 4x8 beats 4x4 (186 vs 266 relative cost)
-    assert s2d.best_block(7, 3, 256, 512) == (4, 8)
+    # k=7, cout=3 at 256x512: 8x4/4x8 beat 4x4 (186 vs 266 relative
+    # cost); the tie breaks to the taller block, the on-chip winner
+    # (perf_head_block.py: 8.02 vs 8.20 ms fwd+bwd)
+    assert s2d.best_block(7, 3, 256, 512) == (8, 4)
     # lane cap: cout=34 allows at most rh*rw <= 3 -> 1x2 or 2x1
     rh, rw = s2d.best_block(7, 34, 256, 512)
     assert rh * rw * 34 <= 128
