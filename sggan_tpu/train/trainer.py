@@ -174,24 +174,28 @@ class Trainer:
         return np.asarray(self._gen_jit(gp, gbn, jnp.asarray(x)))
 
     def _maybe_device_dataset(self):
-        """Build the HBM-resident training split (loader.DeviceDataset)
-        when it fits cfg.device_dataset_mb — zero per-step upload.  Falls
-        back to the host iterator for cycle mode (two splits), oversized
-        or shape-heterogeneous datasets."""
+        """Build the HBM-resident training split(s) (loader.DeviceDataset)
+        when they fit cfg.device_dataset_mb — zero per-step upload.  Cycle
+        mode holds BOTH domains resident (returns a (trainA, trainB)
+        tuple; the combined estimate must fit the budget).  Falls back to
+        the host iterator for oversized or shape-heterogeneous datasets."""
         cfg = self.cfg
-        if not cfg.device_dataset_mb or self.cycle or self.n_proc > 1:
+        if not cfg.device_dataset_mb or self.n_proc > 1:
             # multi-host feeds through the per-process host iterator
             # (each process decodes only its slice of the global batch)
             return None
+        splits = ("trainA", "trainB") if self.cycle else ("trainA",)
         try:
-            files = Dataset(self.root, "trainA").files()
-            n = min(len(files), int(cfg.train_size))
-            if n < cfg.batch_size:
-                return None
-            probe = _load_triplet(files[0], "trainA",
-                                  cache_bytes=cfg.decode_cache_mb << 20,
-                                  max_hw=self.max_src_hw)
-            est = sum(a.nbytes for a in probe) * n
+            est = 0
+            for split in splits:
+                files = Dataset(self.root, split).files()
+                n = min(len(files), int(cfg.train_size))
+                if n < cfg.batch_size:
+                    return None
+                probe = _load_triplet(files[0], split,
+                                      cache_bytes=cfg.decode_cache_mb << 20,
+                                      max_hw=self.max_src_hw)
+                est += sum(a.nbytes for a in probe) * n
             if est > cfg.device_dataset_mb << 20:
                 return None
             sharding = None
@@ -200,14 +204,17 @@ class Trainer:
                 # gather+preprocess+step program can consume it directly
                 from jax.sharding import NamedSharding, PartitionSpec
                 sharding = NamedSharding(self.mesh, PartitionSpec())
-            ds = DeviceDataset(self.root, "trainA",
-                               max_hw=self.max_src_hw,
-                               cache_mb=cfg.decode_cache_mb,
-                               train_size=cfg.train_size,
-                               sharding=sharding)
-            print(f" [*] training split resident on device "
-                  f"({ds.nbytes >> 20} MB, {len(ds)} triplets)")
-            return ds
+            dss = tuple(DeviceDataset(self.root, split,
+                                      max_hw=self.max_src_hw,
+                                      cache_mb=cfg.decode_cache_mb,
+                                      train_size=cfg.train_size,
+                                      sharding=sharding)
+                        for split in splits)
+            print(f" [*] training split{'s' if self.cycle else ''} "
+                  f"resident on device "
+                  f"({sum(d.nbytes for d in dss) >> 20} MB, "
+                  f"{'+'.join(str(len(d)) for d in dss)} triplets)")
+            return dss if self.cycle else dss[0]
         except Exception as e:  # heterogeneous shapes, OOM, ...
             print(f" [!] device dataset cache disabled: "
                   f"{type(e).__name__}: {e}")
@@ -249,6 +256,9 @@ class Trainer:
         extends to every mesh configuration."""
         cfg = self.cfg
         if self.mesh is None:
+            if self.cycle:
+                from .cycle import build_cycle_step_fn
+                return build_cycle_step_fn(cfg), None
             from .step import build_step_fn
             return build_step_fn(cfg), None
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -272,11 +282,29 @@ class Trainer:
         body, constraint = self._fused_step_body()
         make_batch = self._fused_batch_fn()
 
-        def fn(state, img_all, seg_all, cls_all, idxs, k_pre, k_step, lr):
-            batch = make_batch(img_all, seg_all, cls_all, idxs, k_pre)
-            if constraint is not None:
-                batch = jax.lax.with_sharding_constraint(batch, constraint)
-            return body(state, batch, lr, k_step)
+        if self.cycle:
+            # two-domain gather: idxs is an (ix_a, ix_b) tuple; the PRNG
+            # split sequence (k_pre -> k_a, k_b) matches the host-iterator
+            # cycle path exactly
+            def fn(state, img_a, seg_a, cls_a, img_b, seg_b, cls_b,
+                   idxs, k_pre, k_step, lr):
+                k_a, k_b = jax.random.split(k_pre)
+                batch = make_batch(img_a, seg_a, cls_a, idxs[0], k_a)
+                bb = make_batch(img_b, seg_b, cls_b, idxs[1], k_b)
+                batch = dict(batch, real_b=bb["real_a"],
+                             seg_b=bb["seg_a"], mask_b=bb["mask_a"])
+                if constraint is not None:
+                    batch = jax.lax.with_sharding_constraint(batch,
+                                                             constraint)
+                return body(state, batch, lr, k_step)
+        else:
+            def fn(state, img_all, seg_all, cls_all, idxs, k_pre, k_step,
+                   lr):
+                batch = make_batch(img_all, seg_all, cls_all, idxs, k_pre)
+                if constraint is not None:
+                    batch = jax.lax.with_sharding_constraint(batch,
+                                                             constraint)
+                return body(state, batch, lr, k_step)
 
         return jax.jit(fn, donate_argnums=(0,) if cfg.donate else ())
 
@@ -294,19 +322,40 @@ class Trainer:
         body, constraint = self._fused_step_body()
         make_batch = self._fused_batch_fn()
 
-        def fn(state, key, img_all, seg_all, cls_all, idxs, lr):
-            def one(carry, ix):
-                st, ky = carry
-                ky, k_pre, k_step = jax.random.split(ky, 3)
-                batch = make_batch(img_all, seg_all, cls_all, ix, k_pre)
-                if constraint is not None:
-                    batch = jax.lax.with_sharding_constraint(batch,
-                                                             constraint)
-                st, m = body(st, batch, lr, k_step)
-                return (st, ky), m
+        if self.cycle:
+            def fn(state, key, img_a, seg_a, cls_a, img_b, seg_b, cls_b,
+                   idxs, lr):
+                def one(carry, ix):
+                    st, ky = carry
+                    ky, k_pre, k_step = jax.random.split(ky, 3)
+                    k_a, k_b = jax.random.split(k_pre)
+                    batch = make_batch(img_a, seg_a, cls_a, ix[0], k_a)
+                    bb = make_batch(img_b, seg_b, cls_b, ix[1], k_b)
+                    batch = dict(batch, real_b=bb["real_a"],
+                                 seg_b=bb["seg_a"], mask_b=bb["mask_a"])
+                    if constraint is not None:
+                        batch = jax.lax.with_sharding_constraint(
+                            batch, constraint)
+                    st, m = body(st, batch, lr, k_step)
+                    return (st, ky), m
 
-            (state, key), ms = jax.lax.scan(one, (state, key), idxs)
-            return state, key, ms
+                (state, key), ms = jax.lax.scan(one, (state, key), idxs)
+                return state, key, ms
+        else:
+            def fn(state, key, img_all, seg_all, cls_all, idxs, lr):
+                def one(carry, ix):
+                    st, ky = carry
+                    ky, k_pre, k_step = jax.random.split(ky, 3)
+                    batch = make_batch(img_all, seg_all, cls_all, ix,
+                                       k_pre)
+                    if constraint is not None:
+                        batch = jax.lax.with_sharding_constraint(
+                            batch, constraint)
+                    st, m = body(st, batch, lr, k_step)
+                    return (st, ky), m
+
+                (state, key), ms = jax.lax.scan(one, (state, key), idxs)
+                return state, key, ms
 
         return jax.jit(fn, donate_argnums=(0,) if cfg.donate else ())
 
@@ -338,23 +387,46 @@ class Trainer:
         negligible at the step sizes where HBM is tight (PERF.md)."""
         cfg = self.cfg
         b = cfg.batch_size
-        order = np.arange(len(dev_ds))
-        np.random.default_rng(cfg.data_seed + epoch).shuffle(order)
-        nb = len(dev_ds) // b
+        if self.cycle:
+            # two independent shuffles, seeded like the host-iterator
+            # pair (train_iterator epoch shuffles; B uses seed+7919)
+            ds_a, ds_b = dev_ds
+            arrays = (ds_a.img, ds_a.seg, ds_a.cls,
+                      ds_b.img, ds_b.seg, ds_b.cls)
+            order_a = np.arange(len(ds_a))
+            np.random.default_rng(cfg.data_seed + epoch).shuffle(order_a)
+            order_b = np.arange(len(ds_b))
+            np.random.default_rng(
+                cfg.data_seed + 7919 + epoch).shuffle(order_b)
+            nb = min(len(ds_a), len(ds_b)) // b
+
+            def slice_ix(done, kc):
+                cut = lambda o: o[done * b:(done + kc) * b] \
+                    .astype(np.int32).reshape(kc, b)
+                return (jnp.asarray(cut(order_a)),
+                        jnp.asarray(cut(order_b)))
+        else:
+            arrays = (dev_ds.img, dev_ds.seg, dev_ds.cls)
+            order = np.arange(len(dev_ds))
+            np.random.default_rng(cfg.data_seed + epoch).shuffle(order)
+            nb = len(dev_ds) // b
+
+            def slice_ix(done, kc):
+                return jnp.asarray(
+                    order[done * b:(done + kc) * b].astype(np.int32)
+                    .reshape(kc, b))
         if getattr(self, "_scan_disabled", False):
             fused_scan = None
         k_max = cfg.scan_steps if fused_scan is not None else 1
         done = 0
         while done < nb:
             kc = min(k_max, nb - done)
-            ix = order[done * b:(done + kc) * b].astype(np.int32) \
-                .reshape(kc, b)
+            ix = slice_ix(done, kc)
             b_eff = b * (2 if cfg.use_augmentation else 1)
             if kc == k_max and fused_scan is not None:
                 try:
                     self.state, self.key, m = fused_scan(
-                        self.state, self.key, dev_ds.img, dev_ds.seg,
-                        dev_ds.cls, jnp.asarray(ix), lr)
+                        self.state, self.key, *arrays, ix, lr)
                 except Exception as e:
                     scan_ran = getattr(self, "_scan_ok", False)
                     state_live = not any(
@@ -375,9 +447,9 @@ class Trainer:
                 gs, dl = [], []
                 for r in range(kc):
                     self.key, k_pre, k_step = jax.random.split(self.key, 3)
+                    ix_r = jax.tree.map(lambda a: a[r], ix)
                     self.state, mr = fused(
-                        self.state, dev_ds.img, dev_ds.seg, dev_ds.cls,
-                        jnp.asarray(ix[r]), k_pre, k_step, lr)
+                        self.state, *arrays, ix_r, k_pre, k_step, lr)
                     gs.append(mr["gen_loss"])
                     dl.append(mr["disc_loss"])
                 m = {"gen_loss": jnp.stack(gs), "disc_loss": jnp.stack(dl)}
@@ -481,7 +553,7 @@ class Trainer:
         self._timer = StepTimer()
         dev_ds = self._maybe_device_dataset()
         fused = fused_scan = None
-        if dev_ds is not None and not self.cycle:
+        if dev_ds is not None:
             fused = self._make_fused_step(dev_ds)
             if cfg.scan_steps > 1:
                 fused_scan = self._make_fused_scan(dev_ds, cfg.scan_steps)
@@ -510,7 +582,7 @@ class Trainer:
                         max_src_hw=self.max_src_hw,
                         process_index=self.pid,
                         process_count=self.n_proc)
-                if self.cycle:
+                if self.cycle and fused is None:
                     it_b = train_iterator(
                         self.root, self.local_bs, cfg.data_seed + 7919,
                         use_augmentation=cfg.use_augmentation, epoch=epoch,

@@ -155,3 +155,63 @@ def test_cycle_gen_ema():
     raw_l = [np.asarray(l) for l in jax.tree.leaves(state.gen_params)]
     assert any(not np.allclose(e, r) for e, r in zip(ema_l, raw_l))
     assert any(not np.allclose(e, i) for e, i in zip(ema_l, init_l))
+
+
+def _train_once(cycle_ds, tmp_path, name, **kw):
+    from sggan_tpu.train.trainer import Trainer
+    cfg = cfg_(dataset_dir=cycle_ds, epoch=1, ngf=4, ndf=4,
+               save_freq=0, print_freq=100,
+               checkpoint_dir=str(tmp_path / name / "ckpt"),
+               sample_dir=str(tmp_path / name / "sample"),
+               test_dir=str(tmp_path / name / "test"),
+               log_dir=str(tmp_path / name / "logs"), **kw)
+    t = Trainer(cfg)
+    return t, t.train()
+
+
+def test_cycle_fused_matches_host_path(cycle_ds, tmp_path):
+    """Cycle mode over the HBM-resident two-domain split (one fused
+    gather+preprocess+step dispatch) must train identically to the
+    host-iterator path: same shuffles (data_seed+epoch for A,
+    data_seed+7919+epoch for B, matching train_iterator's seeding), same
+    split(k_pre) -> (k_a, k_b) key sequence, same flag layout."""
+    losses = {}
+    for name, mb in (("fused", 2048), ("host", 0)):
+        _, res = _train_once(cycle_ds, tmp_path, name, batch_size=1,
+                             use_augmentation=True, device_dataset_mb=mb,
+                             scan_steps=1)
+        losses[name] = res["gen_loss"]
+    np.testing.assert_allclose(losses["fused"], losses["host"], rtol=1e-4)
+
+
+def test_cycle_fused_scan_matches_per_step(cycle_ds, tmp_path):
+    """--scan_steps K in cycle mode (two-domain gathers inside the scan
+    body) must match the per-step fused path: the carry key derives
+    per-step (k_pre, k_step) and (k_a, k_b) by the same split sequence."""
+    results = {}
+    for name, k in (("scan", 2), ("per_step", 1)):
+        t, res = _train_once(cycle_ds, tmp_path, name, batch_size=1,
+                             use_augmentation=True,
+                             device_dataset_mb=2048, scan_steps=k)
+        results[name] = (res["gen_loss"],
+                         jax.tree.map(np.asarray, t.state.gen_params))
+    np.testing.assert_allclose(results["scan"][0], results["per_step"][0],
+                               rtol=1e-3)
+    for a, b in zip(jax.tree.leaves(results["scan"][1]),
+                    jax.tree.leaves(results["per_step"][1])):
+        np.testing.assert_allclose(a, b, atol=1e-2)
+
+
+def test_cycle_fused_scan_on_dp_mesh(cycle_ds, tmp_path):
+    """The fused scan dispatch extends to cycle mode on a data mesh: the
+    two-domain batch shards over `data`, losses match the host path."""
+    losses = {}
+    for name, kw in (("fused_scan", dict(device_dataset_mb=2048,
+                                         scan_steps=2)),
+                     ("host", dict(device_dataset_mb=0, scan_steps=1))):
+        _, res = _train_once(cycle_ds, tmp_path, name, batch_size=1,
+                             use_augmentation=True, mesh_data=2, **kw)
+        losses[name] = res["gen_loss"]
+    assert np.isfinite(losses["fused_scan"])
+    np.testing.assert_allclose(losses["fused_scan"], losses["host"],
+                               rtol=1e-3)
