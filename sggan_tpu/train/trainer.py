@@ -86,21 +86,24 @@ class Trainer:
             # H over `space` (and W over `wspace` for a 2-D shard grid)
             # with halo exchange (parallel/spatial_step.py).
             from ..parallel import make_mesh
-            from ..parallel.spatial_step import (init_sp_state,
+            from ..parallel.spatial_step import (init_sp_cycle_state,
+                                                 init_sp_state,
                                                  make_sp_train_step,
                                                  place_sp, shard_sp_batch)
-            ok = ((cfg.loss_mode == "sggan" and not cfg.use_pix2pix)
+            ok = ((cfg.loss_mode in ("sggan", "cycle")
+                   and not cfg.use_pix2pix)
                   or (cfg.loss_mode == "p2p" and cfg.use_pix2pix))
             if not ok:
                 raise NotImplementedError(
-                    "mesh_space>1 supports --loss_mode sggan with the "
-                    "resnet/unet nets, or --loss_mode p2p with "
+                    "mesh_space>1 supports --loss_mode sggan/cycle with "
+                    "the resnet/unet nets, or --loss_mode p2p with "
                     "--use_pix2pix")
             self.mesh = make_mesh(data=n_data, space=n_space,
                                   wspace=n_wspace)
             self._mesh_kind = "space"
+            init_fn = init_sp_cycle_state if self.cycle else init_sp_state
             self.state = place_sp(
-                init_sp_state(cfg, self.key, n_data=n_data), self.mesh)
+                init_fn(cfg, self.key, n_data=n_data), self.mesh)
             self.step_fn = make_sp_train_step(cfg, self.mesh)
             self._shard_batch = lambda b: shard_sp_batch(b, self.mesh)
         elif n_data > 1:
@@ -508,10 +511,11 @@ class Trainer:
                 # checkpoint
                 k0 = jax.random.PRNGKey(0)
                 if self._mesh_kind == "space":
-                    from ..parallel.spatial_step import (init_sp_state,
-                                                         place_sp)
-                    template = init_sp_state(cfg, k0,
-                                             n_data=cfg.mesh_data)
+                    from ..parallel.spatial_step import (
+                        init_sp_cycle_state, init_sp_state, place_sp)
+                    sp_init = init_sp_cycle_state if self.cycle \
+                        else init_sp_state
+                    template = sp_init(cfg, k0, n_data=cfg.mesh_data)
                 elif self.cycle:
                     from .cycle import init_cycle_state
                     template = init_cycle_state(cfg, k0,

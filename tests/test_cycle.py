@@ -215,3 +215,13 @@ def test_cycle_fused_scan_on_dp_mesh(cycle_ds, tmp_path):
     assert np.isfinite(losses["fused_scan"])
     np.testing.assert_allclose(losses["fused_scan"], losses["host"],
                                rtol=1e-3)
+
+
+def test_cycle_trainer_mesh_space(cycle_ds, tmp_path):
+    """Cycle training on a (data x space) mesh end-to-end through the
+    Trainer (fused dispatch over the two resident domains + spatially
+    sharded cycle step + eval on the sharded state)."""
+    _, res = _train_once(cycle_ds, tmp_path, "sp", batch_size=1,
+                         use_augmentation=True, mesh_data=2, mesh_space=2,
+                         device_dataset_mb=2048, scan_steps=2)
+    assert np.isfinite(res["gen_loss"])

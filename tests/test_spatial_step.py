@@ -208,3 +208,118 @@ def test_sp_step_pix2pix_runs():
     # BN moving stats moved (train path exercised)
     mv = np.asarray(jax.device_get(state.gen_bn["up0_bn"]["moving_mean"]))
     assert not np.allclose(mv, 0.0)
+
+
+# ---------------------------------------------------------------- cycle
+
+def cycle_cfg_(**kw):
+    base = dict(image_height=32, image_width=32, ngf=4, ndf=4,
+                segment_class=8, batch_size=2, max_size=0,
+                compute_dtype="float32", loss_mode="cycle",
+                use_resnet=True, L1_lambda=10.0, Lg_lambda=5.0,
+                identity_lambda=5.0, use_lsgan=True)
+    base.update(kw)
+    return Config(**base)
+
+
+def make_cycle_batch(cfg, key):
+    ks = jax.random.split(key, 6)
+    b, h, w = cfg.batch_size, cfg.image_height, cfg.image_width
+    hm, wm = cfg.mask_hw
+
+    def mask(k):
+        return jax.nn.one_hot(
+            jax.random.randint(k, (b, hm, wm), 0, cfg.segment_class),
+            cfg.segment_class)
+
+    return {"real_a": jax.random.uniform(ks[0], (b, h, w, 3)),
+            "seg_a": jax.random.uniform(ks[1], (b, h, w, 3)),
+            "mask_a": mask(ks[2]),
+            "real_b": jax.random.uniform(ks[3], (b, h, w, 3)),
+            "seg_b": jax.random.uniform(ks[4], (b, h, w, 3)),
+            "mask_b": mask(ks[5])}
+
+
+def single_device_cycle_losses(cfg, state, batch):
+    """The cycle objective (train/cycle.py) computed unsharded with the
+    spatial step's patch-head discriminators; pool off (max_size=0)."""
+    crit = losses.criterion_gan(cfg.use_lsgan)
+    real_a = batch["real_a"].astype(jnp.float32)
+    real_b = batch["real_b"].astype(jnp.float32)
+    w_a = seg_boundary_weight(batch["seg_a"])
+    w_b = seg_boundary_weight(batch["seg_b"])
+    mask_a, mask_b = batch["mask_a"], batch["mask_b"]
+    gp, dp = state.gen_params, state.disc_params
+    g_ap = lambda p, x: generator_resnet.apply(p, x)
+    d_ap = lambda p, x, m: discriminator.apply(p, x, m, head="patch")
+
+    fake_b = g_ap(gp["a2b"], real_a)
+    fake_a = g_ap(gp["b2a"], real_b)
+    cyc_a = g_ap(gp["b2a"], fake_b)
+    cyc_b = g_ap(gp["a2b"], fake_a)
+    d_fake_b = d_ap(dp["db"], fake_b, mask_a)
+    d_fake_a = d_ap(dp["da"], fake_a, mask_b)
+    g = crit(d_fake_b, jnp.ones_like(d_fake_b)) \
+        + crit(d_fake_a, jnp.ones_like(d_fake_a))
+    g += cfg.L1_lambda * (losses.abs_criterion(real_a, cyc_a)
+                          + losses.abs_criterion(real_b, cyc_b))
+    idt_b, idt_a = g_ap(gp["a2b"], real_b), g_ap(gp["b2a"], real_a)
+    g += cfg.identity_lambda * (losses.abs_criterion(idt_b, real_b)
+                                + losses.abs_criterion(idt_a, real_a))
+    g += cfg.Lg_lambda * (losses.gradloss_criterion(fake_b, real_a, w_a)
+                          + losses.gradloss_criterion(fake_a, real_b, w_b))
+    d_real_a, d_real_b = d_ap(dp["da"], real_a, mask_a), \
+        d_ap(dp["db"], real_b, mask_b)
+    da = (crit(d_real_a, jnp.ones_like(d_real_a))
+          + crit(d_fake_a, jnp.zeros_like(d_fake_a))) / 2.0
+    db = (crit(d_real_b, jnp.ones_like(d_real_b))
+          + crit(d_fake_b, jnp.zeros_like(d_fake_b))) / 2.0
+    return g, da + db
+
+
+def test_sp_cycle_step_matches_single_device():
+    """The spatially sharded cycle step (4 halo'd generator forwards +
+    2 identity forwards + 4 patch-head D calls per step) must reproduce
+    the single-device cycle objective."""
+    from sggan_tpu.parallel.spatial_step import init_sp_cycle_state
+
+    cfg = cycle_cfg_()
+    mesh = make_mesh(data=2, space=2, devices=jax.devices()[:4])
+    state0 = init_sp_cycle_state(cfg, jax.random.PRNGKey(0), n_data=2)
+    batch = make_cycle_batch(cfg, jax.random.PRNGKey(1))
+
+    g_ref, d_ref = single_device_cycle_losses(cfg, state0, batch)
+
+    step = make_sp_train_step(cfg, mesh, donate=False)
+    state_sp = place_sp(state0, mesh)
+    out, m = step(state_sp, shard_sp_batch(batch, mesh),
+                  jnp.float32(1e-3), jax.random.PRNGKey(2))
+    np.testing.assert_allclose(float(m["gen_loss"]), float(g_ref),
+                               rtol=2e-4)
+    np.testing.assert_allclose(float(m["disc_loss"]), float(d_ref),
+                               rtol=2e-4)
+    assert int(out.step) == 1
+
+
+def test_sp_cycle_pool_and_wspace_multi_step():
+    """Cycle on the 2-D (data x space x wspace) grid with the image pool
+    on: (slot, 2, H, W, C) pair buffers shard their plane, losses stay
+    finite over several steps."""
+    from sggan_tpu.parallel.spatial_step import init_sp_cycle_state
+
+    cfg = cycle_cfg_(max_size=2, image_height=32, image_width=64,
+                     batch_size=2)
+    mesh = make_mesh(data=2, space=2, wspace=2,
+                     devices=jax.devices()[:8])
+    state = place_sp(init_sp_cycle_state(cfg, jax.random.PRNGKey(0),
+                                         n_data=2), mesh)
+    assert state.pool.buffer["fakes"].shape == (4, 2, 32, 64, 3)
+    step = make_sp_train_step(cfg, mesh, donate=False)
+    for i in range(3):
+        batch = shard_sp_batch(
+            make_cycle_batch(cfg, jax.random.PRNGKey(10 + i)), mesh)
+        state, m = step(state, batch, jnp.float32(1e-3),
+                        jax.random.PRNGKey(i))
+        assert np.isfinite(float(m["gen_loss"]))
+        assert np.isfinite(float(m["disc_loss"]))
+    assert int(state.step) == 3
