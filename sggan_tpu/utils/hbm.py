@@ -78,10 +78,6 @@ def probe_memory(cfg, source_hw: Optional[Tuple[int, int]] = None,
 
     if kind == "auto":
         kind = "scan" if cfg.scan_steps > 1 else "step"
-    if cfg.loss_mode == "cycle" and kind in ("scan", "step"):
-        raise ValueError(
-            "cycle training feeds through the host iterator (no fused "
-            "scan/step program exists to probe); use --probe_kind eval")
     sh, sw = source_hw or (cfg.image_height, cfg.image_width)
     # Build the Trainer (whose jit wrappers we lower) with its state
     # allocated on HOST CPU: state init would otherwise run as real
@@ -110,11 +106,16 @@ def probe_memory(cfg, source_hw: Optional[Tuple[int, int]] = None,
         k = cfg.scan_steps
         fn = tr._make_fused_scan(None, k)
         idx = _sds((k, cfg.batch_size), jnp.int32)
-        lowered = fn.lower(state_sds, key, img, img, cls, idx, lr)
+        # cycle: two resident domains, (ix_a, ix_b) index tuple
+        arrays = (img, img, cls) * (2 if tr.cycle else 1)
+        ix = (idx, idx) if tr.cycle else idx
+        lowered = fn.lower(state_sds, key, *arrays, ix, lr)
     elif kind == "step":
         fn = tr._make_fused_step(None)
         idx = _sds((cfg.batch_size,), jnp.int32)
-        lowered = fn.lower(state_sds, img, img, cls, idx, key, key, lr)
+        arrays = (img, img, cls) * (2 if tr.cycle else 1)
+        ix = (idx, idx) if tr.cycle else idx
+        lowered = fn.lower(state_sds, *arrays, ix, key, key, lr)
     else:
         raise ValueError(f"kind={kind!r} — scan/step/eval/auto")
 

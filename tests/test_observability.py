@@ -191,17 +191,20 @@ def test_hbm_probe_plumbing(tmp_path):
     assert auto["kind"] == "scan"  # scan_steps=2 -> auto picks scan
 
 
-def test_hbm_probe_cycle_guard(tmp_path):
+def test_hbm_probe_cycle(tmp_path):
+    """Cycle configs probe their real fused two-domain program (scan and
+    per-step both lower with the (ix_a, ix_b) index tuple)."""
     from sggan_tpu.config import Config
     from sggan_tpu.utils.hbm import probe_memory
 
     cfg = Config(dataset_dir=str(tmp_path), loss_mode="cycle",
                  use_resnet=True, batch_size=1, image_height=32,
                  image_width=32, ngf=4, ndf=4, segment_class=8,
-                 compute_dtype="float32").validate()
-    import pytest
-    with pytest.raises(ValueError, match="host iterator"):
-        probe_memory(cfg, n_items=2, kind="scan")
+                 compute_dtype="float32", scan_steps=2).validate()
+    for kind in ("scan", "step"):
+        out = probe_memory(cfg, n_items=2, kind=kind)
+        assert out["kind"] == kind
+        assert out["total_bytes"] > 0, out
 
 
 def test_hbm_oom_parse():
