@@ -84,9 +84,20 @@ def build_cycle_step_fn(cfg, axis_name: Optional[str] = None):
     tx = _tx(cfg.beta1)
     crit = losses.criterion_gan(cfg.use_lsgan)
 
-    def g_apply(p, x, rng):
-        return gen.apply(p, x, compute_dtype=cd, rng=rng,
-                         deterministic=deterministic)
+    if cfg.use_resnet:
+        # same head-form convention as step.py:_gen_fwd: pre-padded head
+        # under --remat (lower peak HBM), cfg.pad_free_head overrides
+        pfh = cfg.pad_free_head if cfg.pad_free_head is not None \
+            else not cfg.remat
+
+        def g_apply(p, x, rng):
+            return gen.apply(p, x, compute_dtype=cd, remat=cfg.remat,
+                             pad_free_head=pfh)
+    else:
+        def g_apply(p, x, rng):
+            return gen.apply(p, x, compute_dtype=cd, rng=rng,
+                             deterministic=deterministic,
+                             remat=cfg.remat)
 
     def d_apply(p, x, mask):
         return discriminator.apply(p, x, mask, compute_dtype=cd)

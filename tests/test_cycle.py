@@ -225,3 +225,18 @@ def test_cycle_trainer_mesh_space(cycle_ds, tmp_path):
                          use_augmentation=True, mesh_data=2, mesh_space=2,
                          device_dataset_mb=2048, scan_steps=2)
     assert np.isfinite(res["gen_loss"])
+
+
+def test_cycle_remat_matches():
+    """--remat in cycle mode (now honoured by both generators): same
+    losses as the stored-activation step — rematerialization changes
+    the schedule, not the math."""
+    state = init_cycle_state(cfg_().validate(), jax.random.PRNGKey(0))
+    batch = make_batch(cfg_(), jax.random.PRNGKey(1))
+    out = {}
+    for name, kw in (("plain", {}), ("remat", dict(remat=True))):
+        cfg = cfg_(**kw).validate()
+        step = make_cycle_train_step(cfg, donate=False)
+        _, m = step(state, batch, jnp.float32(1e-3), jax.random.PRNGKey(2))
+        out[name] = (float(m["gen_loss"]), float(m["disc_loss"]))
+    np.testing.assert_allclose(out["remat"], out["plain"], rtol=1e-5)
