@@ -126,16 +126,38 @@ def preprocess_train(img_u8, seg_u8, cls_u8, key, aug_flags, *,
     return {"real_a": img, "seg_a": seg, "mask_a": mask}
 
 
-@functools.partial(jax.jit, static_argnames=("out_hw", "mask_hw", "n_class"))
-def preprocess_test(img_u8, seg_u8, cls_u8, *, out_hw, mask_hw, n_class):
+@functools.partial(jax.jit, static_argnames=("out_hw", "mask_hw", "n_class",
+                                              "with_masks"))
+def preprocess_test(img_u8, seg_u8, cls_u8, *, out_hw, mask_hw, n_class,
+                    with_masks=True):
     """Parity with load_test_data (utils.py:116-156): direct resize to
     (H, W) (no square step), full-res one-hot mask + mask-grid one-hot.
-    Returns (img, seg, mask_full, mask_grid) float32, images in [0, 1]."""
+    Returns (img, seg, mask_full, mask_grid) float32, images in [0, 1].
+
+    with_masks=False skips the one-hot masks (None, None in their slots):
+    the generator-only eval/test/sample paths never read them, and the
+    full-res (N, H, W, n_class) mask is the most HBM/compute in the
+    program at large resolutions."""
     img = _resize(img_u8.astype(jnp.float32) / 255.0, out_hw)
     seg = _resize(seg_u8.astype(jnp.float32) / 255.0, out_hw)
+    if not with_masks:
+        return img, seg, None, None
     mask_full = _one_hot_mask(cls_u8, out_hw, n_class)
     mask_grid = _one_hot_mask(cls_u8, mask_hw, n_class)
     return img, seg, mask_full, mask_grid
+
+
+@jax.jit
+def seg_labels_u8(seg):
+    """Device-side twin of scores_seg_fake's host conversion
+    (metrics/scores.py): ``(255 * seg).astype(np.uint8)`` — float32
+    multiply then C-style truncating cast, INCLUDING the wrap of
+    antialiased-resize overshoot outside [0, 1] (numpy's out-of-range
+    float->uint8 cast wraps mod 256; XLA's convert saturates, so the
+    wrap is made explicit).  Bit-exact vs the host path, 4x fewer bytes
+    pulled through the device relay."""
+    v = jnp.trunc(255.0 * seg.astype(jnp.float32)).astype(jnp.int32)
+    return jnp.mod(v, 256).astype(jnp.uint8)
 
 
 def make_preprocess_train(cfg):

@@ -91,7 +91,11 @@ def scores_seg_fake(seg_image: np.ndarray, fake_img: np.ndarray,
     reference effectively argmaxes (256 - x) % 256.  Scores produced with
     the flag on are comparable to reference-produced numbers; off (the
     default) argmaxes the raw channels (the obvious intent)."""
-    seg_u8 = (255 * np.asarray(seg_image)).astype(np.uint8)
+    seg = np.asarray(seg_image)
+    # already-converted uint8 (e.g. the trainer's device-side
+    # preprocess.seg_labels_u8, bit-exact twin of this conversion)
+    seg_u8 = seg if seg.dtype == np.uint8 \
+        else (255 * seg).astype(np.uint8)
     fake = np.asarray(fake_img)
     if fake.dtype != np.uint8:
         fake = (255 * fake).astype(np.uint8)

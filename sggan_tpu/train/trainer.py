@@ -24,7 +24,8 @@ from ..config import Config
 from ..data.loader import (Dataset, DeviceDataset, _load_triplet,
                            device_dataset_iterator, load_test_triplet,
                            test_files, train_iterator)
-from ..data.preprocess import make_preprocess_train, preprocess_test
+from ..data.preprocess import (make_preprocess_train, preprocess_test,
+                                seg_labels_u8)
 from ..metrics.scores import scores, scores_seg_fake
 from ..models import generator_pix2pix, generator_resnet, generator_unet
 from ..utils import checkpoint as ckpt
@@ -724,10 +725,15 @@ class Trainer:
             cls_u8 = np.stack([t[2] for t in trips])
             img, seg, _, _ = preprocess_test(
                 img_u8, seg_u8, cls_u8, out_hw=cfg.image_size,
-                mask_hw=cfg.mask_hw, n_class=cfg.segment_class)
+                mask_hw=cfg.mask_hw, n_class=cfg.segment_class,
+                with_masks=False)
             fakes = self.generate(np.asarray(img))
-            seg = np.asarray(seg)
-            img = np.asarray(img)
+            # pull seg pre-converted to uint8 (4x fewer relay bytes,
+            # bit-exact vs scores_seg_fake's host conversion); the input
+            # photo is only read back when the CRF refines against it
+            seg = np.asarray(seg_labels_u8(seg))
+            if cfg.eval_crf:
+                img = np.asarray(img)
             for i, path in enumerate(paths):
                 fake = fakes[i:i + 1]
                 save_images(fake, [1, 1], os.path.join(
@@ -779,7 +785,8 @@ class Trainer:
                                       load_test_triplet(path))
             img, _, _, _ = preprocess_test(
                 img_u8, seg_u8, cls_u8, out_hw=cfg.image_size,
-                mask_hw=cfg.mask_hw, n_class=cfg.segment_class)
+                mask_hw=cfg.mask_hw, n_class=cfg.segment_class,
+                with_masks=False)
             img = np.asarray(img)
             fake = self.generate(img)
             base = os.path.basename(path)
@@ -806,7 +813,8 @@ class Trainer:
         cls_u8 = np.stack([t[2] for t in trips])
         img, _, _, _ = preprocess_test(
             img_u8, seg_u8, cls_u8, out_hw=cfg.image_size,
-            mask_hw=cfg.mask_hw, n_class=cfg.segment_class)
+            mask_hw=cfg.mask_hw, n_class=cfg.segment_class,
+            with_masks=False)
         fake = self.generate(np.asarray(img))
         os.makedirs(cfg.sample_dir, exist_ok=True)
         name = os.path.basename(paths[0]).split(".")[0]

@@ -319,3 +319,34 @@ def test_device_dataset_matches_host_iterator(fixture_ds):
         np.testing.assert_array_equal(np.asarray(a["aug"]), b["aug"])
         n += 1
     assert n >= 1
+
+
+def test_seg_labels_u8_bit_exact():
+    """Device-side uint8 conversion of eval seg images must be BIT-EXACT
+    vs scores_seg_fake's host conversion ((255*x).astype(np.uint8)),
+    including the mod-256 wrap of antialiased-resize overshoot outside
+    [0, 1] (numpy's out-of-range float->uint8 cast wraps; XLA's convert
+    saturates — preprocess.seg_labels_u8 makes the wrap explicit)."""
+    import jax.numpy as jnp
+    r = np.random.default_rng(0).uniform(-0.1, 1.1, 100000) \
+        .astype(np.float32)
+    host = (255 * r).astype(np.uint8)
+    dev = np.asarray(preprocess.seg_labels_u8(jnp.asarray(r)))
+    np.testing.assert_array_equal(host, dev)
+
+
+def test_preprocess_test_with_masks_false():
+    """with_masks=False returns identical img/seg and skips the one-hot
+    masks (the generator-only eval/test paths never read them)."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (2, 40, 48, 3), np.uint8)
+    seg = rng.integers(0, 255, (2, 40, 48, 3), np.uint8)
+    cls = rng.integers(0, 8, (2, 40, 48), np.uint8)
+    full = preprocess.preprocess_test(img, seg, cls, out_hw=(32, 32),
+                                      mask_hw=(4, 4), n_class=8)
+    lean = preprocess.preprocess_test(img, seg, cls, out_hw=(32, 32),
+                                      mask_hw=(4, 4), n_class=8,
+                                      with_masks=False)
+    np.testing.assert_array_equal(np.asarray(full[0]), np.asarray(lean[0]))
+    np.testing.assert_array_equal(np.asarray(full[1]), np.asarray(lean[1]))
+    assert lean[2] is None and lean[3] is None
