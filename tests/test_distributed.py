@@ -95,7 +95,11 @@ def test_two_process_trainer_matches_single_process(tmp_path, mode):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=540)
+            # generous: the cycle variant compiles the two-domain step,
+            # eval, AND the resume continuation in both workers — on
+            # this 1-core host under a concurrent suite that can exceed
+            # 540 s even though the serial run finishes well inside it
+            out, _ = p.communicate(timeout=1500)
             outs.append(out)
     finally:
         for p in procs:
