@@ -160,6 +160,63 @@ def seg_labels_u8(seg):
     return jnp.mod(v, 256).astype(jnp.uint8)
 
 
+@jax.jit
+def fake_u8(x):
+    """Device-side twin of utils/images.py ``inverse_transform`` —
+    ``(((float64(x) + 1) / 2) * 255).astype(uint8)`` (reference
+    utils.py:300-314) — computed in PURE float32 via error-free
+    transformations, bit-exact over the whole tanh output domain.
+
+    Why it is exact: TwoSum yields s + e == x + 1 with no error for any
+    float32 x; the halving is a power-of-two scale; two Dekker products
+    give the EXACT real value of (x+1)/2*255 as a small sum of floats,
+    so the truncation decision is taken on the exact total.  The only
+    inexactness is ~2^-39 of summation noise in the decision residual
+    ``r``; the nearest an exact total can sit to an integer without
+    being one is 2^-32 (the input lattice: totals are multiples of
+    255*2^-(24+k) for x in binade 2^-k, and near-integer totals need
+    |x| > 0.003 so k <= 8), which the -2^-33 threshold absorbs.  Proven
+    empirically too: perf_inv_u8_proof.py enumerates EVERY float32 in
+    [-1, 1] (~2.13e9 values) against the float64 host path — zero
+    mismatches.  Domain is [-1, 1] (tanh output); out-of-domain values
+    are clipped, not wrapped.
+
+    Cuts the eval's fake-image pull through the device->host relay 4x
+    (the largest remaining pull after the seg/mask cuts, PERF.md)."""
+    one = jnp.float32(1.0)
+    half = jnp.float32(0.5)
+    cc = jnp.float32(255.0)
+    split = jnp.float32(4097.0)  # 2**12 + 1 Dekker split constant
+    x = x.astype(jnp.float32)
+    # TwoSum(x, 1): s + e == x + 1 exactly
+    s = x + one
+    bp = s - x
+    e = (x - (s - bp)) + (one - bp)
+    h_h = s * half
+    h_l = e * half
+    # Dekker product h_h * 255: P1 + P2 exact
+    c = h_h * split
+    a_hi = c - (c - h_h)
+    a_lo = h_h - a_hi
+    p1 = h_h * cc
+    p2 = (a_hi * cc - p1) + a_lo * cc
+    # Dekker product h_l * 255: q_h + q_l exact
+    c2 = h_l * split
+    b_hi = c2 - (c2 - h_l)
+    b_lo = h_l - b_hi
+    q_h = h_l * cc
+    q_l = (b_hi * cc - q_h) + b_lo * cc
+    # truncation decision on the exact total kk + r
+    k = jnp.trunc(p1)
+    f = p1 - k
+    up = f > half
+    g = jnp.where(up, f - one, f)
+    kk = jnp.where(up, k + one, k)
+    r = ((g + p2) + q_h) + q_l
+    out = kk - (r < jnp.float32(-2.0 ** -33)).astype(jnp.float32)
+    return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
+
+
 def make_preprocess_train(cfg):
     """Bind the static config once."""
     return functools.partial(

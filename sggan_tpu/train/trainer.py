@@ -24,12 +24,12 @@ from ..config import Config
 from ..data.loader import (Dataset, DeviceDataset, _load_triplet,
                            device_dataset_iterator, load_test_triplet,
                            test_files, train_iterator)
-from ..data.preprocess import (make_preprocess_train, preprocess_test,
-                                seg_labels_u8)
+from ..data.preprocess import (fake_u8, make_preprocess_train,
+                                preprocess_test, seg_labels_u8)
 from ..metrics.scores import scores, scores_seg_fake
 from ..models import generator_pix2pix, generator_resnet, generator_unet
 from ..utils import checkpoint as ckpt
-from ..utils.images import get_img, save_images
+from ..utils.images import imsave, merge, save_images
 from ..utils.profiling import StepTimer, TraceWindow
 from ..utils.summary import SummaryWriter
 from .step import TrainState, init_state, lr_schedule, make_train_step
@@ -159,12 +159,34 @@ class Trainer:
                                           pad_free_head=pfh)
         return generator_unet.apply(gen_params, x, compute_dtype=cd)
 
-    def generate(self, images01: np.ndarray) -> np.ndarray:
+    def generate(self, images01: np.ndarray, as_u8: bool = False
+                 ) -> np.ndarray:
         """Generator forward on [0,1]-range images, honouring the
-        test-time input-scale compat flag (model.py:555-561)."""
-        x = np.asarray(images01, np.float32)
-        if self.cfg.test_uint8_input:
-            x = np.round(x * 255.0)
+        test-time input-scale compat flag (model.py:555-561).
+
+        as_u8=True converts the [-1, 1] output to uint8 ON DEVICE via
+        preprocess.fake_u8 — bit-exact to inverse_transform (the
+        exhaustively-proven twin), 4x fewer bytes pulled through the
+        device->host relay.  Eval/test/sample consume the fakes only
+        through inverse_transform, so downstream PNGs/scores are
+        byte-identical.
+
+        Accepts a device array directly (the fused preprocess_test
+        output) — a jax.Array input skips the pull+re-upload round trip
+        the np conversion would force through the relay; the uint8
+        rescale twin (jnp.round(x*255)) is the same IEEE f32 multiply +
+        round-half-even as numpy's, value-identical."""
+        if isinstance(images01, jax.Array) and self.mesh is None \
+                and self.n_proc == 1:
+            # (mesh runs keep the host pull: params are GSPMD arrays and
+            # a committed single-device input would conflict in jit)
+            x = images01.astype(jnp.float32)
+            if self.cfg.test_uint8_input:
+                x = jnp.round(x * 255.0)
+        else:
+            x = np.asarray(images01, np.float32)
+            if self.cfg.test_uint8_input:
+                x = np.round(x * 255.0)
         # eval/test/serving read the EMA shadow when --gen_ema is on
         gp = self.state.ema if self.state.ema is not None \
             else self.state.gen_params
@@ -175,7 +197,10 @@ class Trainer:
             # can run eval locally without a cross-process program
             gp = jax.tree.map(np.asarray, gp)
             gbn = jax.tree.map(np.asarray, gbn)
-        return np.asarray(self._gen_jit(gp, gbn, jnp.asarray(x)))
+        y = self._gen_jit(gp, gbn, jnp.asarray(x))
+        if as_u8:
+            y = fake_u8(y)
+        return np.asarray(y)
 
     def _maybe_device_dataset(self):
         """Build the HBM-resident training split(s) (loader.DeviceDataset)
@@ -727,18 +752,20 @@ class Trainer:
                 img_u8, seg_u8, cls_u8, out_hw=cfg.image_size,
                 mask_hw=cfg.mask_hw, n_class=cfg.segment_class,
                 with_masks=False)
-            fakes = self.generate(np.asarray(img))
-            # pull seg pre-converted to uint8 (4x fewer relay bytes,
-            # bit-exact vs scores_seg_fake's host conversion); the input
-            # photo is only read back when the CRF refines against it
+            # pull fakes and seg pre-converted to uint8 (4x fewer relay
+            # bytes each, bit-exact vs the host inverse_transform /
+            # scores_seg_fake conversions); the input photo is only
+            # read back when the CRF refines against it
+            fakes = self.generate(img, as_u8=True)
             seg = np.asarray(seg_labels_u8(seg))
             if cfg.eval_crf:
                 img = np.asarray(img)
             for i, path in enumerate(paths):
                 fake = fakes[i:i + 1]
-                save_images(fake, [1, 1], os.path.join(
+                imsave(fake, [1, 1], os.path.join(
                     cfg.test_dir, os.path.basename(path)))
-                fake_img = get_img(fake, [1, 1])
+                fake_img = merge(fake, [1, 1])
+                fake_img = fake_img.reshape(1, *fake_img.shape)
                 outputs.append(fake_img[0])
                 if cfg.eval_crf:
                     # refine the fake's per-channel scores with the dense
@@ -787,14 +814,14 @@ class Trainer:
                 img_u8, seg_u8, cls_u8, out_hw=cfg.image_size,
                 mask_hw=cfg.mask_hw, n_class=cfg.segment_class,
                 with_masks=False)
+            fake = self.generate(img, as_u8=True)
             img = np.asarray(img)
-            fake = self.generate(img)
             base = os.path.basename(path)
             # reference saves the real copy through inverse_transform of
             # [0,1]-range data (model.py:566): reproduce exactly
             save_images(img * 2.0 - 1.0, [1, 1],
                         os.path.join(cfg.test_dir, "real_" + base))
-            save_images(fake, [1, 1], os.path.join(cfg.test_dir, base))
+            imsave(fake, [1, 1], os.path.join(cfg.test_dir, base))
 
     def sample_model(self, epoch: int, idx: int):
         """Periodic sample dump — parity with model.py:506-525."""
@@ -815,8 +842,8 @@ class Trainer:
             img_u8, seg_u8, cls_u8, out_hw=cfg.image_size,
             mask_hw=cfg.mask_hw, n_class=cfg.segment_class,
             with_masks=False)
-        fake = self.generate(np.asarray(img))
+        fake = self.generate(img, as_u8=True)
         os.makedirs(cfg.sample_dir, exist_ok=True)
         name = os.path.basename(paths[0]).split(".")[0]
-        save_images(fake, [fake.shape[0], 1],
-                    f"{cfg.sample_dir}/A_{epoch:02d}_{idx:04d}_{name}.jpg")
+        imsave(fake, [fake.shape[0], 1],
+               f"{cfg.sample_dir}/A_{epoch:02d}_{idx:04d}_{name}.jpg")

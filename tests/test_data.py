@@ -335,6 +335,59 @@ def test_seg_labels_u8_bit_exact():
     np.testing.assert_array_equal(host, dev)
 
 
+def test_fake_u8_bit_exact():
+    """Device-side uint8 conversion of [-1, 1] generator outputs must be
+    BIT-EXACT vs utils/images.inverse_transform's float64 host path
+    (reference utils.py:300-314).  preprocess.fake_u8 computes the
+    truncation decision on the EXACT real value via error-free f32
+    transformations (TwoSum + Dekker products); perf_inv_u8_proof.py
+    enumerates the ENTIRE f32 [-1, 1] domain (zero mismatches) — this
+    test pins the jnp implementation (and that XLA does not simplify
+    the EFT op sequence away) on edges, dense integer-boundary
+    neighbourhoods, and a large random sample."""
+    import jax.numpy as jnp
+    from sggan_tpu.utils.images import inverse_transform
+    # integer-total lattice points x = 2k/255 - 1 and their f32
+    # neighbours: the only places a naive f32 formula flips
+    k = np.arange(256, dtype=np.float64)
+    xb = (2.0 * k / 255.0 - 1.0).astype(np.float32)
+    nbrs = [xb]
+    lo, hi = np.float32(-2), np.float32(2)
+    stepdn, stepup = xb.copy(), xb.copy()
+    for _ in range(4):
+        stepdn = np.nextafter(stepdn, lo)
+        stepup = np.nextafter(stepup, hi)
+        nbrs += [stepdn.copy(), stepup.copy()]
+    edges = np.array([-1.0, 1.0, 0.0, -0.0, 0.5, -0.5,
+                      np.nextafter(np.float32(1), np.float32(0)),
+                      np.nextafter(np.float32(-1), np.float32(0))],
+                     np.float32)
+    rnd = (np.random.default_rng(7).random(1_000_000, np.float32) * 2
+           - 1).astype(np.float32)
+    x = np.clip(np.concatenate(nbrs + [edges, rnd]), -1, 1)
+    host = inverse_transform(x)
+    dev = np.asarray(preprocess.fake_u8(jnp.asarray(x)))
+    np.testing.assert_array_equal(host, dev)
+
+
+def test_eval_u8_pull_byte_identity(fixture_ds):
+    """The eval loop's uint8 fake pull must leave PNGs and scores
+    byte-identical to the f32-pull + host inverse_transform path."""
+    import jax.numpy as jnp
+    from sggan_tpu.utils.images import get_img, inverse_transform, merge
+    rng = np.random.default_rng(3)
+    # tanh-range fake batch incl. exact boundary-lattice pixels
+    fake = (rng.random((2, 16, 24, 3), np.float32) * 2 - 1).astype(
+        np.float32)
+    fake[0, 0, :256 // 24 + 1].flat[:256] = (
+        2.0 * np.arange(256) / 255.0 - 1.0)[:256]
+    u8 = np.asarray(preprocess.fake_u8(jnp.asarray(fake)))
+    np.testing.assert_array_equal(u8, inverse_transform(fake))
+    one = u8[0:1]
+    via_u8 = merge(one, [1, 1]).reshape(1, 16, 24, 3)
+    np.testing.assert_array_equal(via_u8, get_img(fake[0:1], [1, 1]))
+
+
 def test_preprocess_test_with_masks_false():
     """with_masks=False returns identical img/seg and skips the one-hot
     masks (the generator-only eval/test paths never read them)."""
