@@ -139,6 +139,9 @@ class Trainer:
              cfg.image_width * cfg.host_downscale)
             if cfg.host_downscale else None)
         self._gen_jit = jax.jit(self._gen_forward)
+        # epoch-invariant ground-truth seg labels pulled once per run
+        # (keyed by eval chunk paths + size; see test_during_train)
+        self._eval_seg_cache: dict = {}
 
     # ------------------------------------------------------------ forward
     def _gen_forward(self, gen_params, gen_bn, x):
@@ -755,9 +758,17 @@ class Trainer:
             # pull fakes and seg pre-converted to uint8 (4x fewer relay
             # bytes each, bit-exact vs the host inverse_transform /
             # scores_seg_fake conversions); the input photo is only
-            # read back when the CRF refines against it
+            # read back when the CRF refines against it.  Ground-truth
+            # seg labels are constant across epochs, so the pulled
+            # array is cached per (paths, size) — epoch >= 2 evals skip
+            # the seg pull entirely.
             fakes = self.generate(img, as_u8=True)
-            seg = np.asarray(seg_labels_u8(seg))
+            seg_key = (tuple(paths), cfg.image_size)
+            seg_np = self._eval_seg_cache.get(seg_key)
+            if seg_np is None:
+                seg_np = np.asarray(seg_labels_u8(seg))
+                self._eval_seg_cache[seg_key] = seg_np
+            seg = seg_np
             if cfg.eval_crf:
                 img = np.asarray(img)
             for i, path in enumerate(paths):
