@@ -162,10 +162,14 @@ def seg_labels_u8(seg):
 
 @jax.jit
 def fake_u8(x):
-    """Device-side twin of utils/images.py ``inverse_transform`` —
-    ``(((float64(x) + 1) / 2) * 255).astype(uint8)`` (reference
-    utils.py:300-314) — computed in PURE float32 via error-free
-    transformations, bit-exact over the whole tanh output domain.
+    """Device-side twin of THIS repo's host ``utils/images.py
+    inverse_transform`` — ``(((float64(x) + 1) / 2) * 255).astype(uint8)``
+    — computed in PURE float32 via error-free transformations, bit-exact
+    over the whole tanh output domain.  Note the reference's
+    ``inverse_transform`` (utils.py:300-314) evaluates the same formula in
+    float32 (python scalars don't upcast a float32 numpy array); the f64
+    host path this twin matches can differ from reference f32 arithmetic
+    by 1 at exact-lattice pixels x = 2k/255 - 1 (see utils/images.py).
 
     Why it is exact: TwoSum yields s + e == x + 1 with no error for any
     float32 x; the halving is a power-of-two scale; two Dekker products

@@ -22,8 +22,17 @@ def imread(path, is_grayscale: bool = False) -> np.ndarray:
 
 
 def inverse_transform(images) -> np.ndarray:
-    """[-1, 1] float -> uint8, exactly ((x+1)/2*255).astype(uint8)
-    (utils.py:300-314, truncation included)."""
+    """[-1, 1] float -> uint8, ((x+1)/2*255).astype(uint8) with the
+    reference's truncating cast (utils.py:300-314).  Deviation, on
+    purpose: this computes in float64; the reference evaluates the same
+    formula in float32 (its input is a float32 numpy array and python
+    scalars don't upcast), which can land one code below at pixels
+    sitting exactly on the x = 2k/255 - 1 lattice (f32 rounding of the
+    product dips just under the integer; measured 32 mismatches in a 4M+
+    lattice sample, never elsewhere).  f64 is kept as the repo-wide
+    convention — the device twin data/preprocess.py::fake_u8 is proven
+    bit-exact against THIS function, and real generator outputs don't
+    sit on the lattice."""
     return (((np.asarray(images, np.float64) + 1.0) / 2.0) * 255).astype(np.uint8)
 
 

@@ -379,8 +379,8 @@ def test_eval_u8_pull_byte_identity(fixture_ds):
     # tanh-range fake batch incl. exact boundary-lattice pixels
     fake = (rng.random((2, 16, 24, 3), np.float32) * 2 - 1).astype(
         np.float32)
-    fake[0, 0, :256 // 24 + 1].flat[:256] = (
-        2.0 * np.arange(256) / 255.0 - 1.0)[:256]
+    fake[0, :256 // 24 + 1].flat[:256] = (
+        2.0 * np.arange(256) / 255.0 - 1.0)
     u8 = np.asarray(preprocess.fake_u8(jnp.asarray(fake)))
     np.testing.assert_array_equal(u8, inverse_transform(fake))
     one = u8[0:1]
