@@ -169,6 +169,50 @@ def bench():
         print(f"inference bench failed: {type(e).__name__}: {e}",
               file=sys.stderr)
 
+    # BASELINE config #2: semantic PatchGAN discriminator + adversarial
+    # loss forward/backward at batch 1 (reference module.py:272-318 D,
+    # model.py:160-166 loss semantics; LSGAN criterion per loss_mode
+    # sggan).  Stderr metric: ms/call + TF/s from XLA's own FLOP count.
+    try:
+        from sggan_tpu.losses import mae_criterion
+        from sggan_tpu.models import discriminator
+        cd = jnp.bfloat16 if on_tpu else jnp.float32
+        dp = discriminator.init(jax.random.PRNGKey(0), image_size=(h, w))
+        hm, wm = h // 8, w // 8
+
+        def d_loss(dp, real, fake, mask):
+            da_real = discriminator.apply(dp, real, mask, compute_dtype=cd)
+            da_fake = discriminator.apply(dp, fake, mask, compute_dtype=cd)
+            return (mae_criterion(da_real, jnp.ones_like(da_real))
+                    + mae_criterion(da_fake, jnp.zeros_like(da_fake))) / 2.0
+
+        fwd_bwd = jax.jit(jax.value_and_grad(d_loss))
+        k = jax.random.PRNGKey(2)
+        real = jax.random.uniform(k, (1, h, w, 3))
+        fake = jax.random.uniform(k, (1, h, w, 3))
+        mask = jax.nn.one_hot(
+            jax.random.randint(k, (1, hm, wm), 0, 34), 34)
+        try:
+            fl = fwd_bwd.lower(dp, real, fake, mask).compile() \
+                        .cost_analysis()["flops"]
+        except Exception:
+            fl = None
+        for _ in range(3):
+            loss, g = fwd_bwd(dp, real, fake, mask)
+        float(loss)
+        it = 48 if on_tpu else 3
+        t0 = time.perf_counter()
+        for _ in range(it):
+            loss, g = fwd_bwd(dp, real, fake, mask)
+        float(loss)
+        dt = (time.perf_counter() - t0) / it
+        rate = f", {fl / dt / 1e12:.1f} TF/s" if fl else ""
+        print(f"semantic D + adv loss fwd+bwd batch 1: "
+              f"{dt * 1e3:.2f} ms/call{rate}", file=sys.stderr)
+    except Exception as e:
+        print(f"disc bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     # cycle north-star config (BASELINE config #3): two generators + two
     # semantic discriminators, GAN + cycle + identity + gradloss — stderr
     # metric so PERF.md can carry an img/s number for the cycle step.

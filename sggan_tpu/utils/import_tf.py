@@ -26,6 +26,7 @@ the flat order — those route into the functional BN-state tree
 from __future__ import annotations
 
 import json
+import os
 import re
 
 
@@ -79,8 +80,100 @@ def import_checkpoint(cfg, gen_src: str, disc_src: str = None,
     return state
 
 
+def selftest(workdir: str = None) -> dict:
+    """De-circularized round trip of the whole TF import path: for every
+    net, randomize a real param tree, EXPORT it through the library
+    TensorBundle writer under Keras save_weights names
+    (tf_bundle.write_keras_weights), then pull it back through the exact
+    import machinery users hit (keras_weights ordering ->
+    assign_flat_weights mapping) into a FRESH zero tree and require exact
+    equality.  Covers raw + snappy tables, multi-block indexes (tiny
+    block_size), and the BN-stat interleave of the pix2pix nets.
+
+    What this does and does not prove: the reader is exercised against
+    bundles from a first-class writer with independent fidelity anchors
+    (crc32c test vector, literal-only snappy against the independently
+    written decoder, checksums verified end to end) — but both codec
+    halves share one reading of the tensor_bundle spec, so a bundle
+    written by REAL TensorFlow remains the residual risk (tf_bundle.py
+    module docstring lists the two places it could hide)."""
+    import tempfile
+
+    import jax
+    import numpy as np
+
+    from ..models import (discriminator, discriminator_pix2pix,
+                          generator_pix2pix, generator_resnet,
+                          generator_unet)
+    from . import tf_bundle, tf_weights
+
+    workdir = workdir or tempfile.mkdtemp(prefix="tfimport_selftest_")
+    rng = np.random.default_rng(7)
+
+    def randomize(tree):
+        if isinstance(tree, dict):
+            return {k: randomize(v) for k, v in tree.items()}
+        return rng.normal(size=np.shape(tree)).astype(np.float32)
+
+    def zeros(tree):
+        if isinstance(tree, dict):
+            return {k: zeros(v) for k, v in tree.items()}
+        return np.zeros(np.shape(tree), np.float32)
+
+    def check(tree, got, where):
+        if isinstance(tree, dict):
+            for k in tree:
+                check(tree[k], got[k], f"{where}/{k}")
+        else:
+            np.testing.assert_array_equal(np.asarray(got), tree, where)
+
+    results = {}
+    key = jax.random.PRNGKey(0)
+    cases = [
+        ("resnet", generator_resnet.init(key), {}),
+        ("unet", generator_unet.init(key), {}),
+        ("discriminator",
+         discriminator.init(key, image_size=(128, 128)), {"n_valid": 3}),
+    ]
+    for i, (net, init_params, kw) in enumerate(cases):
+        params = randomize(init_params)
+        flat, attrs = tf_weights.extract_flat_weights(net, params, **kw)
+        prefix = f"{workdir}/{net}/cp-0000.ckpt"
+        os.makedirs(os.path.dirname(prefix), exist_ok=True)
+        tf_bundle.write_keras_weights(prefix, flat, attrs,
+                                      compress=bool(i % 2),
+                                      block_size=512 if i else 4096)
+        got = tf_weights.load_bundle_weights(prefix, net, zeros(params),
+                                             **kw)
+        check(params, got, net)
+        results[net] = len(flat)
+
+    for which, init in (("gen", generator_pix2pix.init),
+                        ("disc", discriminator_pix2pix.init)):
+        p0, bn0 = init(key)
+        params, bn = randomize(p0), randomize(bn0)
+        flat, attrs = tf_weights.extract_pix2pix_weights(which, params, bn)
+        prefix = f"{workdir}/p2p_{which}/cp-0000.ckpt"
+        os.makedirs(os.path.dirname(prefix), exist_ok=True)
+        tf_bundle.write_keras_weights(prefix, flat, attrs, compress=True,
+                                      block_size=256)
+        gp, gbn = tf_weights.load_pix2pix_weights(
+            prefix, which, zeros(params), zeros(bn))
+        check(params, gp, f"p2p_{which}/params")
+        check(bn, gbn, f"p2p_{which}/bn")
+        results[f"pix2pix_{which}"] = len(flat)
+    return results
+
+
 def main(argv=None):
     from ..config import build_parser, config_from_namespace
+
+    if argv is None:
+        import sys
+        argv = sys.argv[1:]
+    if "--selftest" in argv:
+        print(json.dumps({"ok": True, "selftest": selftest()}))
+        return
 
     p = build_parser()
     p.add_argument("--gen_src", required=True,

@@ -175,3 +175,39 @@ def _copy_tree(t):
     if isinstance(t, dict):
         return {k: _copy_tree(v) for k, v in t.items()}
     return t
+
+
+# ---- writer-side inverse: param tree -> flat get_weights() order -------
+# Used by `import_tf --selftest` (write->read->assign round trip through
+# the TensorBundle codec) and to EXPORT params trained here back to a
+# TF-loadable Model.save_weights bundle.
+
+_P2P_ATTRS = {"w": "kernel", "b": "bias", "gamma": "gamma", "beta": "beta",
+              "moving_mean": "moving_mean", "moving_var": "moving_variance"}
+
+
+def _leaf(tree, path: str):
+    node = tree
+    for q in path.split("/"):
+        node = node[q]
+    return node
+
+
+def extract_flat_weights(net: str, params, **layout_kw):
+    """Returns (flat weight list, Keras attribute list) in get_weights()
+    order for a resnet/unet/discriminator param tree — the exact inverse
+    of assign_flat_weights."""
+    layout = _LAYOUTS[net](**layout_kw)
+    flat = [np.asarray(_leaf(params, path)) for path, _ in layout]
+    return flat, [kind for _, kind in layout]
+
+
+def extract_pix2pix_weights(which: str, params, bn_state,
+                            image_size: int = 128):
+    """(flat, attrs) for the pix2pix nets, BN running stats interleaved in
+    Keras order — inverse of assign_flat_weights_bn."""
+    layout = pix2pix_gen_layout(image_size) if which == "gen" \
+        else pix2pix_disc_layout()
+    flat = [np.asarray(_leaf(params if tree == "p" else bn_state, path))
+            for tree, path in layout]
+    return flat, [_P2P_ATTRS[path.rsplit("/", 1)[-1]] for _, path in layout]
