@@ -1,0 +1,226 @@
+"""Eval / inference / sampling paths — parity with the reference's
+`test_during_train` (model.py:307-378), `test` (model.py:535-567) and
+`sample_model` (model.py:506-525), extracted from trainer.py
+(VERDICT r3 item 8).  Every function takes the Trainer instance (`tr`);
+Trainer keeps thin delegating methods so the public surface
+(`trainer.generate`, `trainer.test_during_train`, subclass overrides in
+quality_run.py / saturation_eval.py) is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loader import load_test_triplet, test_files
+from ..data.preprocess import fake_u8, preprocess_test, seg_labels_u8
+from ..metrics.scores import scores, scores_seg_fake
+from ..models import generator_pix2pix, generator_resnet, generator_unet
+from ..utils import checkpoint as ckpt
+from ..utils.images import imsave, merge, save_images
+from ..utils.summary import SummaryWriter
+
+
+def gen_forward(tr, gen_params, gen_bn, x):
+    cfg = tr.cfg
+    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    if tr.cycle:
+        # A->B generator, honouring --which_direction (main.py:29)
+        key = "a2b" if cfg.which_direction == "AtoB" else "b2a"
+        gen_params = gen_params[key]
+    if cfg.use_pix2pix:
+        y, _ = generator_pix2pix.apply(gen_params, gen_bn, x,
+                                       compute_dtype=cd, ngf=cfg.ngf)
+        return y
+    if cfg.use_resnet:
+        pfh = cfg.pad_free_head if cfg.pad_free_head is not None \
+            else not cfg.remat
+        return generator_resnet.apply(gen_params, x, compute_dtype=cd,
+                                      pad_free_head=pfh)
+    return generator_unet.apply(gen_params, x, compute_dtype=cd)
+
+
+def generate(tr, images01: np.ndarray, as_u8: bool = False) -> np.ndarray:
+    """Generator forward on [0,1]-range images, honouring the
+    test-time input-scale compat flag (model.py:555-561).
+
+    as_u8=True converts the [-1, 1] output to uint8 ON DEVICE via
+    preprocess.fake_u8 — bit-exact to inverse_transform (the
+    exhaustively-proven twin), 4x fewer bytes pulled through the
+    device->host relay.  Eval/test/sample consume the fakes only
+    through inverse_transform, so downstream PNGs/scores are
+    byte-identical.
+
+    Accepts a device array directly (the fused preprocess_test
+    output) — a jax.Array input skips the pull+re-upload round trip
+    the np conversion would force through the relay; the uint8
+    rescale twin (jnp.round(x*255)) is the same IEEE f32 multiply +
+    round-half-even as numpy's, value-identical."""
+    if isinstance(images01, jax.Array) and tr.mesh is None \
+            and tr.n_proc == 1:
+        # (mesh runs keep the host pull: params are GSPMD arrays and
+        # a committed single-device input would conflict in jit)
+        x = images01.astype(jnp.float32)
+        if tr.cfg.test_uint8_input:
+            x = jnp.round(x * 255.0)
+    else:
+        x = np.asarray(images01, np.float32)
+        if tr.cfg.test_uint8_input:
+            x = np.round(x * 255.0)
+    # eval/test/serving read the EMA shadow when --gen_ema is on
+    gp = tr.state.ema if tr.state.ema is not None \
+        else tr.state.gen_params
+    gbn = tr.state.gen_bn
+    if tr.n_proc > 1:
+        # params are replicated global arrays spanning hosts; pull
+        # the (fully-replicated) values to host so the coordinator
+        # can run eval locally without a cross-process program
+        gp = jax.tree.map(np.asarray, gp)
+        gbn = jax.tree.map(np.asarray, gbn)
+    y = tr._gen_jit(gp, gbn, jnp.asarray(x))
+    if as_u8:
+        y = fake_u8(y)
+    return np.asarray(y)
+
+
+def test_during_train(tr, epoch: int,
+                      writer: Optional[SummaryWriter] = None):
+    """Epoch-end eval — parity with model.py:307-378: per test image,
+    generator forward, fake PNG dump, seg-vs-fake argmax labels,
+    aggregate confusion-matrix scores, TB scalars."""
+    cfg = tr.cfg
+    if not tr.is_coord:
+        # eval/PNG/TB writes are coordinator-only; params are
+        # replicated so no other process needs to participate
+        return None, None
+    files = test_files(tr.root)
+    if not files:
+        return None, None
+    os.makedirs(cfg.test_dir, exist_ok=True)
+    gts, preds, outputs = [], [], []
+    # batch the eval (the reference runs one generator forward per
+    # file, model.py:323-347); ragged tails are padded by repeating
+    # the last triplet so ONE shape is compiled per run (remote
+    # compiles cost 40-850 s here; padded outputs are sliced off)
+    chunk = min(8, len(files))
+    for c0 in range(0, len(files), chunk):
+        paths = files[c0:c0 + chunk]
+        trips = [load_test_triplet(p, cache_mb=cfg.decode_cache_mb,
+                                   max_hw=tr.max_src_hw)
+                 for p in paths]
+        trips += [trips[-1]] * (chunk - len(paths))
+        img_u8 = np.stack([t[0] for t in trips])
+        seg_u8 = np.stack([t[1] for t in trips])
+        cls_u8 = np.stack([t[2] for t in trips])
+        img, seg, _, _ = preprocess_test(
+            img_u8, seg_u8, cls_u8, out_hw=cfg.image_size,
+            mask_hw=cfg.mask_hw, n_class=cfg.segment_class,
+            with_masks=False)
+        # pull fakes and seg pre-converted to uint8 (4x fewer relay
+        # bytes each, bit-exact vs the host inverse_transform /
+        # scores_seg_fake conversions); the input photo is only
+        # read back when the CRF refines against it.  Ground-truth
+        # seg labels are constant across epochs, so the pulled
+        # array is cached per (paths, size) — epoch >= 2 evals skip
+        # the seg pull entirely.
+        fakes = tr.generate(img, as_u8=True)
+        seg_key = (tuple(paths), cfg.image_size)
+        seg_np = tr._eval_seg_cache.get(seg_key)
+        if seg_np is None:
+            seg_np = np.asarray(seg_labels_u8(seg))
+            tr._eval_seg_cache[seg_key] = seg_np
+        seg = seg_np
+        if cfg.eval_crf:
+            img = np.asarray(img)
+        for i, path in enumerate(paths):
+            fake = fakes[i:i + 1]
+            imsave(fake, [1, 1], os.path.join(
+                cfg.test_dir, os.path.basename(path)))
+            fake_img = merge(fake, [1, 1])
+            fake_img = fake_img.reshape(1, *fake_img.shape)
+            outputs.append(fake_img[0])
+            if cfg.eval_crf:
+                # refine the fake's per-channel scores with the dense
+                # CRF against the input photo (realizes the dormant
+                # get_labels(crf=True) path, model.py:278-305)
+                from ..metrics.crf import dense_crf
+                sample_u8 = (img[i] * 255).astype(np.uint8)
+                probs = np.ascontiguousarray(
+                    fake_img[0].astype(np.float32).transpose(2, 0, 1)
+                    / 255.0)
+                q = dense_crf(sample_u8, probs)
+                fake_img = (np.ascontiguousarray(
+                    q.transpose(1, 2, 0))[None] * 255).astype(np.uint8)
+            lt, lp = scores_seg_fake(
+                seg[i:i + 1], fake_img,
+                compat_eval_overflow=cfg.compat_eval_overflow)
+            gts += list(lt)
+            preds += list(lp)
+    score = scores(gts, preds, n_class=cfg.segment_class)
+    if writer is not None:
+        writer.scalar("Overall Accuracy", score["Overall Acc"], epoch)
+        writer.scalar("Mean Accuracy", score["Mean Acc"], epoch)
+        writer.scalar("Frequency Weighted Accuracy", score["FreqW Acc"],
+                      epoch)
+        writer.scalar("Mean IoU", score["Mean IoU"], epoch)
+    return np.stack(outputs), score
+
+
+def run_test(tr):
+    """Inference CLI — parity with model.py:535-567: load latest
+    checkpoint, translate every testA image, save fake as <name>.png
+    and the input as real_<name>.png in --test_dir."""
+    cfg = tr.cfg
+    restored = ckpt.load(tr.state, cfg.checkpoint_dir, cfg.dataset_dir)
+    if restored is not None:
+        tr.state = restored
+        print(" [*] Load SUCCESS")
+    else:
+        print(" [!] Load failed...")
+    os.makedirs(cfg.test_dir, exist_ok=True)
+    for path in test_files(tr.root):
+        print("Processing image: " + path)
+        img_u8, seg_u8, cls_u8 = (a[None] for a in
+                                  load_test_triplet(path))
+        img, _, _, _ = preprocess_test(
+            img_u8, seg_u8, cls_u8, out_hw=cfg.image_size,
+            mask_hw=cfg.mask_hw, n_class=cfg.segment_class,
+            with_masks=False)
+        fake = tr.generate(img, as_u8=True)
+        img = np.asarray(img)
+        base = os.path.basename(path)
+        # reference saves the real copy through inverse_transform of
+        # [0,1]-range data (model.py:566): reproduce exactly
+        save_images(img * 2.0 - 1.0, [1, 1],
+                    os.path.join(cfg.test_dir, "real_" + base))
+        imsave(fake, [1, 1], os.path.join(cfg.test_dir, base))
+
+
+def sample_model(tr, epoch: int, idx: int):
+    """Periodic sample dump — parity with model.py:506-525."""
+    cfg = tr.cfg
+    files = test_files(tr.root)
+    if not files:
+        return
+    rng = np.random.default_rng(cfg.data_seed + epoch * 10000 + idx)
+    rng.shuffle(files)
+    paths = files[: cfg.batch_size]  # model.py:509: batch of samples
+    trips = [load_test_triplet(p, cache_mb=cfg.decode_cache_mb,
+                               max_hw=tr.max_src_hw)
+             for p in paths]
+    img_u8 = np.stack([t[0] for t in trips])
+    seg_u8 = np.stack([t[1] for t in trips])
+    cls_u8 = np.stack([t[2] for t in trips])
+    img, _, _, _ = preprocess_test(
+        img_u8, seg_u8, cls_u8, out_hw=cfg.image_size,
+        mask_hw=cfg.mask_hw, n_class=cfg.segment_class,
+        with_masks=False)
+    fake = tr.generate(img, as_u8=True)
+    os.makedirs(cfg.sample_dir, exist_ok=True)
+    name = os.path.basename(paths[0]).split(".")[0]
+    imsave(fake, [fake.shape[0], 1],
+           f"{cfg.sample_dir}/A_{epoch:02d}_{idx:04d}_{name}.jpg")

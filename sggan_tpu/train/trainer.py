@@ -22,16 +22,12 @@ import numpy as np
 
 from ..config import Config
 from ..data.loader import (Dataset, DeviceDataset, _load_triplet,
-                           device_dataset_iterator, load_test_triplet,
-                           test_files, train_iterator)
-from ..data.preprocess import (fake_u8, make_preprocess_train,
-                                preprocess_test, seg_labels_u8)
-from ..metrics.scores import scores, scores_seg_fake
-from ..models import generator_pix2pix, generator_resnet, generator_unet
+                           device_dataset_iterator, train_iterator)
+from ..data.preprocess import make_preprocess_train
 from ..utils import checkpoint as ckpt
-from ..utils.images import imsave, merge, save_images
 from ..utils.profiling import StepTimer, TraceWindow
 from ..utils.summary import SummaryWriter
+from . import evaluate, fused
 from .step import TrainState, init_state, lr_schedule, make_train_step
 
 
@@ -145,65 +141,13 @@ class Trainer:
 
     # ------------------------------------------------------------ forward
     def _gen_forward(self, gen_params, gen_bn, x):
-        cfg = self.cfg
-        cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-        if self.cycle:
-            # A->B generator, honouring --which_direction (main.py:29)
-            key = "a2b" if cfg.which_direction == "AtoB" else "b2a"
-            gen_params = gen_params[key]
-        if cfg.use_pix2pix:
-            y, _ = generator_pix2pix.apply(gen_params, gen_bn, x,
-                                           compute_dtype=cd, ngf=cfg.ngf)
-            return y
-        if cfg.use_resnet:
-            pfh = cfg.pad_free_head if cfg.pad_free_head is not None \
-                else not cfg.remat
-            return generator_resnet.apply(gen_params, x, compute_dtype=cd,
-                                          pad_free_head=pfh)
-        return generator_unet.apply(gen_params, x, compute_dtype=cd)
+        return evaluate.gen_forward(self, gen_params, gen_bn, x)
 
     def generate(self, images01: np.ndarray, as_u8: bool = False
                  ) -> np.ndarray:
-        """Generator forward on [0,1]-range images, honouring the
-        test-time input-scale compat flag (model.py:555-561).
-
-        as_u8=True converts the [-1, 1] output to uint8 ON DEVICE via
-        preprocess.fake_u8 — bit-exact to inverse_transform (the
-        exhaustively-proven twin), 4x fewer bytes pulled through the
-        device->host relay.  Eval/test/sample consume the fakes only
-        through inverse_transform, so downstream PNGs/scores are
-        byte-identical.
-
-        Accepts a device array directly (the fused preprocess_test
-        output) — a jax.Array input skips the pull+re-upload round trip
-        the np conversion would force through the relay; the uint8
-        rescale twin (jnp.round(x*255)) is the same IEEE f32 multiply +
-        round-half-even as numpy's, value-identical."""
-        if isinstance(images01, jax.Array) and self.mesh is None \
-                and self.n_proc == 1:
-            # (mesh runs keep the host pull: params are GSPMD arrays and
-            # a committed single-device input would conflict in jit)
-            x = images01.astype(jnp.float32)
-            if self.cfg.test_uint8_input:
-                x = jnp.round(x * 255.0)
-        else:
-            x = np.asarray(images01, np.float32)
-            if self.cfg.test_uint8_input:
-                x = np.round(x * 255.0)
-        # eval/test/serving read the EMA shadow when --gen_ema is on
-        gp = self.state.ema if self.state.ema is not None \
-            else self.state.gen_params
-        gbn = self.state.gen_bn
-        if self.n_proc > 1:
-            # params are replicated global arrays spanning hosts; pull
-            # the (fully-replicated) values to host so the coordinator
-            # can run eval locally without a cross-process program
-            gp = jax.tree.map(np.asarray, gp)
-            gbn = jax.tree.map(np.asarray, gbn)
-        y = self._gen_jit(gp, gbn, jnp.asarray(x))
-        if as_u8:
-            y = fake_u8(y)
-        return np.asarray(y)
+        """See evaluate.generate — device-array fast path, optional
+        on-device uint8 conversion (bit-exact inverse_transform twin)."""
+        return evaluate.generate(self, images01, as_u8=as_u8)
 
     def _maybe_device_dataset(self):
         """Build the HBM-resident training split(s) (loader.DeviceDataset)
@@ -252,258 +196,18 @@ class Trainer:
                   f"{type(e).__name__}: {e}")
             return None
 
-    def _fused_batch_fn(self):
-        """Traced device-side batch assembly for the fused paths: gather
-        from the HBM-resident split + augmentation doubling + fused
-        preprocess — same keys and flag layout as the host iterator."""
-        cfg = self.cfg
-        from ..data.preprocess import preprocess_train
-        b = cfg.batch_size
-
-        def make_batch(img_all, seg_all, cls_all, idxs, k_pre):
-            take = lambda a: jnp.take(a, idxs, axis=0, mode="clip")
-            img, seg, cls = take(img_all), take(seg_all), take(cls_all)
-            if cfg.use_augmentation:
-                img = jnp.concatenate([img, img])
-                seg = jnp.concatenate([seg, seg])
-                cls = jnp.concatenate([cls, cls])
-                flags = jnp.concatenate([jnp.zeros((b,), bool),
-                                         jnp.ones((b,), bool)])
-            else:
-                flags = jnp.zeros((b,), bool)
-            return preprocess_train(
-                img, seg, cls, k_pre, flags, out_hw=cfg.image_size,
-                mask_hw=cfg.mask_hw, n_class=cfg.segment_class,
-                photometric=cfg.use_photometric)
-
-        return make_batch
-
-    def _fused_step_body(self):
-        """The (possibly shard_mapped) un-jitted step body + the batch
-        sharding constraint for the fused programs.  With no mesh this is
-        the plain single-device body; on a dp mesh the shard_mapped dp
-        body with the batch sharded over `data`; on a spatial mesh the
-        shard_mapped spatial body with the batch sharded over
-        (data, space[, wspace]) — so the fused single-dispatch pipeline
-        extends to every mesh configuration."""
-        cfg = self.cfg
-        if self.mesh is None:
-            if self.cycle:
-                from .cycle import build_cycle_step_fn
-                return build_cycle_step_fn(cfg), None
-            from .step import build_step_fn
-            return build_step_fn(cfg), None
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        if self._mesh_kind == "space":
-            from ..parallel.spatial_step import _batch_spec, make_sp_step_body
-            return (make_sp_step_body(cfg, self.mesh),
-                    NamedSharding(self.mesh, _batch_spec(self.mesh)))
-        from ..parallel.dp import make_dp_step_body
-        from ..parallel.mesh import DATA_AXIS
-        return (make_dp_step_body(cfg, self.mesh),
-                NamedSharding(self.mesh, P(DATA_AXIS)))
-
     def _make_fused_step(self, ds):
-        """ONE compiled program per step: device-side batch gather from
-        the HBM-resident split + fused preprocess + train step.  The
-        split gather/preprocess/step dispatches cost ~440 ms/step through
-        this environment's remote relay (PERF.md round 2); fused, each
-        step is a single dispatch.  Numerically identical to the unfused
-        path (same keys, same flag layout)."""
-        cfg = self.cfg
-        body, constraint = self._fused_step_body()
-        make_batch = self._fused_batch_fn()
-
-        if self.cycle:
-            # two-domain gather: idxs is an (ix_a, ix_b) tuple; the PRNG
-            # split sequence (k_pre -> k_a, k_b) matches the host-iterator
-            # cycle path exactly
-            def fn(state, img_a, seg_a, cls_a, img_b, seg_b, cls_b,
-                   idxs, k_pre, k_step, lr):
-                k_a, k_b = jax.random.split(k_pre)
-                batch = make_batch(img_a, seg_a, cls_a, idxs[0], k_a)
-                bb = make_batch(img_b, seg_b, cls_b, idxs[1], k_b)
-                batch = dict(batch, real_b=bb["real_a"],
-                             seg_b=bb["seg_a"], mask_b=bb["mask_a"])
-                if constraint is not None:
-                    batch = jax.lax.with_sharding_constraint(batch,
-                                                             constraint)
-                return body(state, batch, lr, k_step)
-        else:
-            def fn(state, img_all, seg_all, cls_all, idxs, k_pre, k_step,
-                   lr):
-                batch = make_batch(img_all, seg_all, cls_all, idxs, k_pre)
-                if constraint is not None:
-                    batch = jax.lax.with_sharding_constraint(batch,
-                                                             constraint)
-                return body(state, batch, lr, k_step)
-
-        return jax.jit(fn, donate_argnums=(0,) if cfg.donate else ())
+        """One compiled gather+preprocess+step program (fused.py)."""
+        return fused.make_fused_step(self, ds)
 
     def _make_fused_scan(self, ds, k: int):
-        """`k` full train steps per dispatch: ONE lax.scan program rolling
-        gather + fused preprocess + step, amortizing per-step dispatch
-        latency (through this environment's remote relay each dispatch
-        costs milliseconds even on the fused path).  The PRNG key rides
-        the scan carry and derives per-step keys by the same
-        split(key, 3) sequence as the per-step path, so training matches
-        scan_steps=1 up to XLA scheduling noise (tested).  On a mesh the
-        scan body wraps the shard_mapped step (same batch constraint as
-        _make_fused_step)."""
-        cfg = self.cfg
-        body, constraint = self._fused_step_body()
-        make_batch = self._fused_batch_fn()
+        """K steps per dispatch via lax.scan (fused.py)."""
+        return fused.make_fused_scan(self, ds, k)
 
-        if self.cycle:
-            def fn(state, key, img_a, seg_a, cls_a, img_b, seg_b, cls_b,
-                   idxs, lr):
-                def one(carry, ix):
-                    st, ky = carry
-                    ky, k_pre, k_step = jax.random.split(ky, 3)
-                    k_a, k_b = jax.random.split(k_pre)
-                    batch = make_batch(img_a, seg_a, cls_a, ix[0], k_a)
-                    bb = make_batch(img_b, seg_b, cls_b, ix[1], k_b)
-                    batch = dict(batch, real_b=bb["real_a"],
-                                 seg_b=bb["seg_a"], mask_b=bb["mask_a"])
-                    if constraint is not None:
-                        batch = jax.lax.with_sharding_constraint(
-                            batch, constraint)
-                    st, m = body(st, batch, lr, k_step)
-                    return (st, ky), m
+    _is_hbm_failure = staticmethod(fused.is_hbm_failure)
 
-                (state, key), ms = jax.lax.scan(one, (state, key), idxs)
-                return state, key, ms
-        else:
-            def fn(state, key, img_all, seg_all, cls_all, idxs, lr):
-                def one(carry, ix):
-                    st, ky = carry
-                    ky, k_pre, k_step = jax.random.split(ky, 3)
-                    batch = make_batch(img_all, seg_all, cls_all, ix,
-                                       k_pre)
-                    if constraint is not None:
-                        batch = jax.lax.with_sharding_constraint(
-                            batch, constraint)
-                    st, m = body(st, batch, lr, k_step)
-                    return (st, ky), m
-
-                (state, key), ms = jax.lax.scan(one, (state, key), idxs)
-                return state, key, ms
-
-        return jax.jit(fn, donate_argnums=(0,) if cfg.donate else ())
-
-    @staticmethod
-    def _is_hbm_failure(e: Exception) -> bool:
-        """MEMORY-failure signatures: XLA's RESOURCE_EXHAUSTED / OOM
-        texts, plus remote-compile-service program-size rejections
-        (tpu_compile_helper returns HTTP 500 for both, with the OOM dump
-        attached when it is one).  Deliberately NOT a bare "compil"
-        match — a generic compile error must re-raise, not be
-        misdiagnosed as HBM overflow and silently fall back."""
-        s = str(e).lower()
-        return any(t in s for t in (
-            "out of memory", "resource_exhausted", "resource exhausted",
-            "memory space hbm", "exceeds the limit", "hbm oom",
-            "tpu_compile_helper"))
-
-    def _run_epoch_fused(self, epoch, lr, dev_ds, fused, fused_scan,
-                         g_losses, d_losses, global_step, start_time):
-        """One epoch over the device-resident split: scan_steps steps per
-        dispatch, remainder through the single-step fused program.
-        Prints and periodic saves land on chunk boundaries.
-
-        If the K-step scan program fails to COMPILE (HBM overflow — the
-        scan's per-iteration temporaries can tip large-resolution programs
-        over the chip), training degrades gracefully to the per-step fused
-        program (numerically identical, same PRNG sequence) instead of
-        dying: scan chunking only amortizes dispatch latency, which is
-        negligible at the step sizes where HBM is tight (PERF.md)."""
-        cfg = self.cfg
-        b = cfg.batch_size
-        if self.cycle:
-            # two independent shuffles, seeded like the host-iterator
-            # pair (train_iterator epoch shuffles; B uses seed+7919)
-            ds_a, ds_b = dev_ds
-            arrays = (ds_a.img, ds_a.seg, ds_a.cls,
-                      ds_b.img, ds_b.seg, ds_b.cls)
-            order_a = np.arange(len(ds_a))
-            np.random.default_rng(cfg.data_seed + epoch).shuffle(order_a)
-            order_b = np.arange(len(ds_b))
-            np.random.default_rng(
-                cfg.data_seed + 7919 + epoch).shuffle(order_b)
-            nb = min(len(ds_a), len(ds_b)) // b
-
-            def slice_ix(done, kc):
-                cut = lambda o: o[done * b:(done + kc) * b] \
-                    .astype(np.int32).reshape(kc, b)
-                return (jnp.asarray(cut(order_a)),
-                        jnp.asarray(cut(order_b)))
-        else:
-            arrays = (dev_ds.img, dev_ds.seg, dev_ds.cls)
-            order = np.arange(len(dev_ds))
-            np.random.default_rng(cfg.data_seed + epoch).shuffle(order)
-            nb = len(dev_ds) // b
-
-            def slice_ix(done, kc):
-                return jnp.asarray(
-                    order[done * b:(done + kc) * b].astype(np.int32)
-                    .reshape(kc, b))
-        if getattr(self, "_scan_disabled", False):
-            fused_scan = None
-        k_max = cfg.scan_steps if fused_scan is not None else 1
-        done = 0
-        while done < nb:
-            kc = min(k_max, nb - done)
-            ix = slice_ix(done, kc)
-            b_eff = b * (2 if cfg.use_augmentation else 1)
-            if kc == k_max and fused_scan is not None:
-                try:
-                    self.state, self.key, m = fused_scan(
-                        self.state, self.key, *arrays, ix, lr)
-                except Exception as e:
-                    scan_ran = getattr(self, "_scan_ok", False)
-                    state_live = not any(
-                        getattr(a, "is_deleted", lambda: False)()
-                        for a in jax.tree.leaves(self.state))
-                    if scan_ran or not self._is_hbm_failure(e) \
-                            or not state_live:
-                        raise
-                    print(f" [!] scan_steps={k_max} program failed to "
-                          f"compile ({type(e).__name__}); falling back to "
-                          "per-step dispatch")
-                    self._scan_disabled = True
-                    fused_scan = None
-                    k_max = 1
-                    continue
-                self._scan_ok = True
-            else:
-                gs, dl = [], []
-                for r in range(kc):
-                    self.key, k_pre, k_step = jax.random.split(self.key, 3)
-                    ix_r = jax.tree.map(lambda a: a[r], ix)
-                    self.state, mr = fused(
-                        self.state, *arrays, ix_r, k_pre, k_step, lr)
-                    gs.append(mr["gen_loss"])
-                    dl.append(mr["disc_loss"])
-                m = {"gen_loss": jnp.stack(gs), "disc_loss": jnp.stack(dl)}
-            g_losses.append(m["gen_loss"])
-            d_losses.append(m["disc_loss"])
-            self._timer.mark(kc * b_eff)
-            if self._prof is not None:
-                self._prof.tick()
-            pf = cfg.print_freq
-            if done == 0 or (done - 1) // pf != (done + kc - 1) // pf:
-                print("Epoch: [%2d] [%4d] time: %4.4f "
-                      "Gen_Loss: %f Disc_Loss: %f" % (
-                          epoch, done + kc - 1, time.time() - start_time,
-                          float(m["gen_loss"][-1]),
-                          float(m["disc_loss"][-1])))
-            prev = global_step
-            done += kc
-            global_step += kc
-            if cfg.save_freq and \
-                    prev // cfg.save_freq != global_step // cfg.save_freq:
-                self._save(epoch)
-        return global_step
+    def _run_epoch_fused(self, *args, **kw):
+        return fused.run_epoch_fused(self, *args, **kw)
 
     def _save(self, epoch: int):
         """Checkpoint save; multi-host: every process resherds the pool
@@ -722,139 +426,15 @@ class Trainer:
         return last
 
     # --------------------------------------------------------------- eval
-    def test_during_train(self, epoch: int, writer: Optional[SummaryWriter]
-                          = None):
-        """Epoch-end eval — parity with model.py:307-378: per test image,
-        generator forward, fake PNG dump, seg-vs-fake argmax labels,
-        aggregate confusion-matrix scores, TB scalars."""
-        cfg = self.cfg
-        if not self.is_coord:
-            # eval/PNG/TB writes are coordinator-only; params are
-            # replicated so no other process needs to participate
-            return None, None
-        files = test_files(self.root)
-        if not files:
-            return None, None
-        os.makedirs(cfg.test_dir, exist_ok=True)
-        gts, preds, outputs = [], [], []
-        # batch the eval (the reference runs one generator forward per
-        # file, model.py:323-347); ragged tails are padded by repeating
-        # the last triplet so ONE shape is compiled per run (remote
-        # compiles cost 40-850 s here; padded outputs are sliced off)
-        chunk = min(8, len(files))
-        for c0 in range(0, len(files), chunk):
-            paths = files[c0:c0 + chunk]
-            trips = [load_test_triplet(p, cache_mb=cfg.decode_cache_mb,
-                                       max_hw=self.max_src_hw)
-                     for p in paths]
-            trips += [trips[-1]] * (chunk - len(paths))
-            img_u8 = np.stack([t[0] for t in trips])
-            seg_u8 = np.stack([t[1] for t in trips])
-            cls_u8 = np.stack([t[2] for t in trips])
-            img, seg, _, _ = preprocess_test(
-                img_u8, seg_u8, cls_u8, out_hw=cfg.image_size,
-                mask_hw=cfg.mask_hw, n_class=cfg.segment_class,
-                with_masks=False)
-            # pull fakes and seg pre-converted to uint8 (4x fewer relay
-            # bytes each, bit-exact vs the host inverse_transform /
-            # scores_seg_fake conversions); the input photo is only
-            # read back when the CRF refines against it.  Ground-truth
-            # seg labels are constant across epochs, so the pulled
-            # array is cached per (paths, size) — epoch >= 2 evals skip
-            # the seg pull entirely.
-            fakes = self.generate(img, as_u8=True)
-            seg_key = (tuple(paths), cfg.image_size)
-            seg_np = self._eval_seg_cache.get(seg_key)
-            if seg_np is None:
-                seg_np = np.asarray(seg_labels_u8(seg))
-                self._eval_seg_cache[seg_key] = seg_np
-            seg = seg_np
-            if cfg.eval_crf:
-                img = np.asarray(img)
-            for i, path in enumerate(paths):
-                fake = fakes[i:i + 1]
-                imsave(fake, [1, 1], os.path.join(
-                    cfg.test_dir, os.path.basename(path)))
-                fake_img = merge(fake, [1, 1])
-                fake_img = fake_img.reshape(1, *fake_img.shape)
-                outputs.append(fake_img[0])
-                if cfg.eval_crf:
-                    # refine the fake's per-channel scores with the dense
-                    # CRF against the input photo (realizes the dormant
-                    # get_labels(crf=True) path, model.py:278-305)
-                    from ..metrics.crf import dense_crf
-                    sample_u8 = (img[i] * 255).astype(np.uint8)
-                    probs = np.ascontiguousarray(
-                        fake_img[0].astype(np.float32).transpose(2, 0, 1)
-                        / 255.0)
-                    q = dense_crf(sample_u8, probs)
-                    fake_img = (np.ascontiguousarray(
-                        q.transpose(1, 2, 0))[None] * 255).astype(np.uint8)
-                lt, lp = scores_seg_fake(
-                    seg[i:i + 1], fake_img,
-                    compat_eval_overflow=cfg.compat_eval_overflow)
-                gts += list(lt)
-                preds += list(lp)
-        score = scores(gts, preds, n_class=cfg.segment_class)
-        if writer is not None:
-            writer.scalar("Overall Accuracy", score["Overall Acc"], epoch)
-            writer.scalar("Mean Accuracy", score["Mean Acc"], epoch)
-            writer.scalar("Frequency Weighted Accuracy", score["FreqW Acc"],
-                          epoch)
-            writer.scalar("Mean IoU", score["Mean IoU"], epoch)
-        return np.stack(outputs), score
+    def test_during_train(self, epoch: int,
+                          writer: Optional[SummaryWriter] = None):
+        """Epoch-end eval (evaluate.py) — parity with model.py:307-378."""
+        return evaluate.test_during_train(self, epoch, writer)
 
-    # --------------------------------------------------------------- test
     def test(self):
-        """Inference CLI — parity with model.py:535-567: load latest
-        checkpoint, translate every testA image, save fake as <name>.png
-        and the input as real_<name>.png in --test_dir."""
-        cfg = self.cfg
-        restored = ckpt.load(self.state, cfg.checkpoint_dir, cfg.dataset_dir)
-        if restored is not None:
-            self.state = restored
-            print(" [*] Load SUCCESS")
-        else:
-            print(" [!] Load failed...")
-        os.makedirs(cfg.test_dir, exist_ok=True)
-        for path in test_files(self.root):
-            print("Processing image: " + path)
-            img_u8, seg_u8, cls_u8 = (a[None] for a in
-                                      load_test_triplet(path))
-            img, _, _, _ = preprocess_test(
-                img_u8, seg_u8, cls_u8, out_hw=cfg.image_size,
-                mask_hw=cfg.mask_hw, n_class=cfg.segment_class,
-                with_masks=False)
-            fake = self.generate(img, as_u8=True)
-            img = np.asarray(img)
-            base = os.path.basename(path)
-            # reference saves the real copy through inverse_transform of
-            # [0,1]-range data (model.py:566): reproduce exactly
-            save_images(img * 2.0 - 1.0, [1, 1],
-                        os.path.join(cfg.test_dir, "real_" + base))
-            imsave(fake, [1, 1], os.path.join(cfg.test_dir, base))
+        """Inference CLI (evaluate.py) — parity with model.py:535-567."""
+        return evaluate.run_test(self)
 
     def sample_model(self, epoch: int, idx: int):
-        """Periodic sample dump — parity with model.py:506-525."""
-        cfg = self.cfg
-        files = test_files(self.root)
-        if not files:
-            return
-        rng = np.random.default_rng(cfg.data_seed + epoch * 10000 + idx)
-        rng.shuffle(files)
-        paths = files[: cfg.batch_size]  # model.py:509: batch of samples
-        trips = [load_test_triplet(p, cache_mb=cfg.decode_cache_mb,
-                                   max_hw=self.max_src_hw)
-                 for p in paths]
-        img_u8 = np.stack([t[0] for t in trips])
-        seg_u8 = np.stack([t[1] for t in trips])
-        cls_u8 = np.stack([t[2] for t in trips])
-        img, _, _, _ = preprocess_test(
-            img_u8, seg_u8, cls_u8, out_hw=cfg.image_size,
-            mask_hw=cfg.mask_hw, n_class=cfg.segment_class,
-            with_masks=False)
-        fake = self.generate(img, as_u8=True)
-        os.makedirs(cfg.sample_dir, exist_ok=True)
-        name = os.path.basename(paths[0]).split(".")[0]
-        imsave(fake, [fake.shape[0], 1],
-               f"{cfg.sample_dir}/A_{epoch:02d}_{idx:04d}_{name}.jpg")
+        """Periodic sample dump (evaluate.py) — model.py:506-525."""
+        return evaluate.sample_model(self, epoch, idx)
