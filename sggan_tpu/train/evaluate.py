@@ -59,14 +59,22 @@ def generate(tr, images01: np.ndarray, as_u8: bool = False) -> np.ndarray:
     output) — a jax.Array input skips the pull+re-upload round trip
     the np conversion would force through the relay; the uint8
     rescale twin (jnp.round(x*255)) is the same IEEE f32 multiply +
-    round-half-even as numpy's, value-identical."""
-    if isinstance(images01, jax.Array) and tr.mesh is None \
-            and tr.n_proc == 1:
-        # (mesh runs keep the host pull: params are GSPMD arrays and
-        # a committed single-device input would conflict in jit)
+    round-half-even as numpy's, value-identical.  Under a mesh the
+    committed single-device input is re-placed replicated over the
+    mesh (one device_put, no host round trip) so the fast path and
+    the on-device u8 pull hold for dp/spatial runs too (VERDICT r3
+    item 7); multi-host keeps the host pull (the coordinator's eval
+    is a local program over host-pulled params)."""
+    if isinstance(images01, jax.Array) and tr.n_proc == 1:
         x = images01.astype(jnp.float32)
         if tr.cfg.test_uint8_input:
             x = jnp.round(x * 255.0)
+        if tr.mesh is not None:
+            # params are GSPMD arrays: a committed single-device input
+            # would conflict in jit — replicate it over the mesh
+            from jax.sharding import NamedSharding, PartitionSpec
+            x = jax.device_put(x, NamedSharding(tr.mesh,
+                                                PartitionSpec()))
     else:
         x = np.asarray(images01, np.float32)
         if tr.cfg.test_uint8_input:

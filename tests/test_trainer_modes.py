@@ -287,3 +287,37 @@ def test_eval_freq(ds, tmp_path):
     scalars = read_scalars(events[0])
     steps = sorted(s for s, _ in scalars["Mean IoU"])
     assert steps == [0, 3]  # epochs 0 (freq) and 3 (final)
+
+
+def test_generate_device_fast_path_on_mesh(ds, tmp_path):
+    """VERDICT r3 item 7: under a dp mesh, generate() accepts a committed
+    single-device input (the fused preprocess_test output) directly —
+    re-placed replicated over the mesh, no f32 host round trip — and the
+    on-device u8 pull equals the host-path result exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = base_cfg(ds, tmp_path, loss_mode="sggan", use_resnet=True,
+                   mesh_data=2, batch_size=2)
+    t = Trainer(cfg)
+    x_dev = jnp.asarray(
+        np.random.default_rng(0).random((2, 32, 32, 3), np.float32))
+    x_dev = jax.device_put(x_dev, jax.devices()[0])  # committed
+    got = t.generate(x_dev, as_u8=True)
+    want = t.generate(np.asarray(x_dev), as_u8=True)
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, want)
+
+
+def test_generate_device_fast_path_on_spatial_mesh(ds, tmp_path):
+    cfg = base_cfg(ds, tmp_path, loss_mode="sggan", use_resnet=True,
+                   mesh_data=2, mesh_space=2, batch_size=2)
+    t = Trainer(cfg)
+    import jax
+    import jax.numpy as jnp
+    x_dev = jax.device_put(jnp.asarray(
+        np.random.default_rng(1).random((2, 32, 32, 3), np.float32)),
+        jax.devices()[0])
+    got = t.generate(x_dev, as_u8=True)
+    want = t.generate(np.asarray(x_dev), as_u8=True)
+    np.testing.assert_array_equal(got, want)
