@@ -5,9 +5,13 @@ pallas_call.
 
 The north-star deliverable named by BASELINE's hard-part 4: settle with
 silicon whether a hand-fused conv+IN epilogue beats XLA's (already
-145+ TF/s) convolution fusions.  perf_conv_in.py carries the on-chip
-fwd/fwd+bwd table vs the default XLA form (PERF.md); this module is the
-kernel either way.
+145+ TF/s) convolution fusions.  SETTLED (round 4, PERF.md table from
+perf_conv_in.py): it does not — XLA's composition wins 17% fwd / 4.7%
+fwd+bwd at the resblock shape and >2x at narrow channels, because the
+contest is MXU rate (XLA's conv emitter outruns the in-kernel dot
+pipeline) and not HBM traffic.  The default path stays
+conv2d_reflect -> instance_norm; this module remains the measured
+reference for VMEM-pipelined fused normalization.
 
 Design (grid = (N,), everything else hand-pipelined):
   phase A: stream (tile_h+2, W+2, Cin) input slabs HBM->VMEM with
@@ -71,10 +75,11 @@ _VMEM_BUDGET = 11 * 1024 * 1024
 
 
 def _tile_h(h: int, wd: int, cin: int, cout: int, itemsize: int,
-            tile_h=None) -> int:
+            tile_h=None, im2col: bool = False) -> int:
     """Largest power-of-two row tile whose scratch set (double-buffered
     input slabs + two double-buffered output stagings + the f32 conv
-    accumulator on the stack) fits the scoped-VMEM budget."""
+    accumulator on the stack + the pre-shift buffer when im2col) fits
+    the scoped-VMEM budget."""
     if tile_h:
         assert h % tile_h == 0, (h, tile_h)
         return tile_h
@@ -85,16 +90,18 @@ def _tile_h(h: int, wd: int, cin: int, cout: int, itemsize: int,
         slabs = 2 * (th + 2) * wp8 * cin * itemsize
         stage = 4 * th * wd * cout * itemsize
         acc = th * wd * cout * 4
-        if slabs + stage + acc <= _VMEM_BUDGET:
+        xsh = _K * (th + 2) * wd * cin * itemsize if im2col else 0
+        if slabs + stage + acc + xsh <= _VMEM_BUDGET:
             return th
     return 1
 
 
 def _kernel(xp_hbm, w_ref, gamma_ref, beta_ref, y_hbm, y16_hbm,
             mean_out, rsig_out, s1, s2, xslab, ystage, ynorm, sem_x,
-            sem_yo, sem_yi, *, th: int, h: int, wd: int, wp8: int,
+            sem_yo, sem_yi, *rest, th: int, h: int, wd: int, wp8: int,
             cin: int, cout: int, eps: float, act: Optional[str],
             alpha: float, cd, im2col: bool):
+    xsh = rest[0] if rest else None
     n = pl.program_id(0)
     n_tiles = h // th
     inv_n = 1.0 / (h * wd)
@@ -130,16 +137,17 @@ def _kernel(xp_hbm, w_ref, gamma_ref, beta_ref, y_hbm, y16_hbm,
         slab = xslab[slot]  # (th+2, Wp8, Cin)
         acc = jnp.zeros((th, wd, cout), jnp.float32)
         if im2col:
-            # one K=3*Cin matmul per dy: gather the dx-shifted views
-            # once (VPU copies) and amortize the MXU output accumulate
+            # pre-shift the three dx views once per tile (3 sublane
+            # copies instead of 9 strided slices feeding the MXU); the
+            # per-tap dy slice is on the untiled major dim (free)
+            for dx in range(_K):
+                xsh[dx] = slab[:, dx:dx + wd, :]
             for dy in range(_K):
-                xw = jnp.concatenate(
-                    [slab[dy:dy + th, dx:dx + wd, :] for dx in range(_K)],
-                    axis=-1)
-                acc += lax.dot_general(
-                    xw, w_ref[dy],
-                    dimension_numbers=(((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                for dx in range(_K):
+                    acc += lax.dot_general(
+                        xsh[dx, dy:dy + th], w_ref[dy, dx],
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
         else:
             for dy in range(_K):
                 for dx in range(_K):
@@ -215,7 +223,7 @@ def _pallas_forward(x, w, gamma, beta, eps, act, alpha, interpret=False,
     cout = w.shape[-1]
     cd = x.dtype
     th = _tile_h(h, wd, max(cin, 128), max(cout, 128), x.dtype.itemsize,
-                 tile_h)
+                 tile_h, im2col)
     # Mosaic DMA slices along the (tiled, lane) channel axis must be
     # 128-aligned: zero-pad narrow channels (contributes 0 to the conv;
     # padded OUTPUT channels are statistics-garbage and sliced off)
@@ -242,11 +250,20 @@ def _pallas_forward(x, w, gamma, beta, eps, act, alpha, interpret=False,
         _kernel, th=th, h=h, wd=wd, wp8=wp8, cin=cin, cout=cout, eps=eps,
         act=act, alpha=alpha, cd=cd, im2col=im2col)
     wk = w.astype(cd)
-    if im2col:
-        # (3, 3*Cin, Cout): w_ref[dy] pairs with the dx-concatenated view
-        wk = wk.reshape(_K, _K * cin, cout)
     flops = 2 * _K * _K * cin * cout * n * h * wd
     by = x.dtype.itemsize
+    scratch = [
+        pltpu.VMEM((1, cout), jnp.float32),           # s1
+        pltpu.VMEM((1, cout), jnp.float32),           # s2
+        pltpu.VMEM((2, th + 2, wp8, cin), cd),        # x slabs
+        pltpu.VMEM((2, th, wd, cout), cd),            # y staging (in)
+        pltpu.VMEM((2, th, wd, cout), cd),            # y staging (out)
+        pltpu.SemaphoreType.DMA((2,)),                # x in
+        pltpu.SemaphoreType.DMA((2,)),                # y out
+        pltpu.SemaphoreType.DMA((2,)),                # y16 in
+    ]
+    if im2col:
+        scratch.append(pltpu.VMEM((_K, th + 2, wd, cin), cd))  # xsh
     y, y16, mean, rsig = pl.pallas_call(
         kern,
         grid=(n,),
@@ -272,16 +289,7 @@ def _pallas_forward(x, w, gamma, beta, eps, act, alpha, interpret=False,
             jax.ShapeDtypeStruct((n, 1, cout), jnp.float32),
             jax.ShapeDtypeStruct((n, 1, cout), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((1, cout), jnp.float32),           # s1
-            pltpu.VMEM((1, cout), jnp.float32),           # s2
-            pltpu.VMEM((2, th + 2, wp8, cin), cd),        # x slabs
-            pltpu.VMEM((2, th, wd, cout), cd),            # y staging (in)
-            pltpu.VMEM((2, th, wd, cout), cd),            # y staging (out)
-            pltpu.SemaphoreType.DMA((2,)),                # x in
-            pltpu.SemaphoreType.DMA((2,)),                # y out
-            pltpu.SemaphoreType.DMA((2,)),                # y16 in
-        ],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=by * n * ((h + 2) * wp8 * cin

@@ -27,13 +27,14 @@ def _setup(n, h, w, cin, cout, dtype, seed=0):
     return x, wk, inp
 
 
+@pytest.mark.parametrize("im2col", [False, True])
 @pytest.mark.parametrize("act", [None, "relu", "leaky_relu"])
 @pytest.mark.parametrize("shape", [(2, 8, 16, 8, 8), (1, 16, 8, 16, 8)])
-def test_forward_matches_xla(shape, act):
+def test_forward_matches_xla(shape, act, im2col):
     n, h, w, cin, cout = shape
     x, wk, inp = _setup(n, h, w, cin, cout, jnp.float32)
     got = pci.conv3_in(x, wk, inp["gamma"], inp["beta"], act=act,
-                       interpret=True)
+                       interpret=True, im2col=im2col)
     want = pci.conv3_in_xla({"w": wk}, inp, x, act=act)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
