@@ -248,18 +248,42 @@ def conv2d_reflect(params, x, compute_dtype=None, bias: bool = True):
     with the proper reflect sources (PERF.md round 2: the pad construction
     cost a full HBM pass per call).
 
+    Carries a custom VJP (round 4): autodiff through the border
+    machinery emitted, PER CONV, four full-size zero-border copies (the
+    transpose of the ``.at[].set`` fix-ups) plus dgrads/wgrads of the
+    four strip convs — ~2.5 ms/step of the SOL gap at the bench config
+    (PERF.md round-4 trace).  The hand-written backward is the adjoint
+    of the TRUE function conv(reflect_pad(x)): one full-correlation
+    dgrad on the padded domain folded back through the reflect-pad
+    adjoint, one wgrad-as-conv over the (transient) padded input — the
+    same stored-activation pattern as pallas_conv_in._bwd, which
+    oracle-tests pin against autodiff of the jnp.pad composition.
+
     Stride-1, odd-kernel only: SAME zero-padding coincides with
     reflect_pad(k//2)+VALID interiors only then (TF SAME pads
     asymmetrically for even k, and stride>1 changes which taps read the
     border)."""
     cd = compute_dtype or x.dtype
-    k = params["w"].shape[0]
+    y = _conv_reflect_cv(params["w"], x, jnp.dtype(cd))
+    if bias and "b" in params:
+        y = y + params["b"].astype(cd)
+    return y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _conv_reflect_cv(w, x, cd):
+    return _conv_reflect_fwd_body(w, x, cd)
+
+
+def _conv_reflect_fwd_body(w, x, cd):
+    params = {"w": w}
+    k = w.shape[0]
     assert k % 2 == 1, (
         f"conv2d_reflect requires an odd kernel (got k={k}): TF-SAME pads "
         "even kernels asymmetrically, which breaks the interior-equality "
         "this fast path relies on")
     p = k // 2
-    y = conv2d(params, x, 1, "SAME", cd, bias=bias)
+    y = conv2d(params, x, 1, "SAME", cd, bias=False)
     if p == 0:
         return y
     xcd = x.astype(cd)
@@ -277,11 +301,76 @@ def conv2d_reflect(params, x, compute_dtype=None, bias: bool = True):
     right_in = jnp.concatenate([xcd[:, :, -2 * p:],
                                 flip_w(xcd[:, :, -p - 1:-1])], axis=2)
     y = y.at[:, :p].set(conv2d(params, wpad(top_in), 1, "VALID", cd,
-                               bias=bias))
+                               bias=False))
     y = y.at[:, -p:].set(conv2d(params, wpad(bot_in), 1, "VALID", cd,
-                                bias=bias))
+                                bias=False))
     y = y.at[:, p:h - p, :p].set(conv2d(params, left_in, 1, "VALID", cd,
-                                        bias=bias))
+                                        bias=False))
     y = y.at[:, p:h - p, -p:].set(conv2d(params, right_in, 1, "VALID", cd,
-                                         bias=bias))
+                                         bias=False))
     return y
+
+
+def _conv_reflect_cv_fwd(w, x, cd):
+    return _conv_reflect_fwd_body(w, x, cd), (w, x)
+
+
+def _conv_reflect_cv_bwd(cd, res, dy):
+    """Adjoint of conv(reflect_pad(x, p), VALID): one full-correlation
+    dgrad on the padded domain folded back through the reflect-pad
+    adjoint (strip adds), one wgrad-as-conv over the transiently padded
+    input.  Replaces autodiff of the border fix-ups — which emitted four
+    full-size zero-border copies plus eight strip-conv backward passes
+    per call (~2.5 ms/step total at the bench config, PERF.md round 4)."""
+    w, x = res
+    k = w.shape[0]
+    p = k // 2
+    wc = w.astype(cd)
+    dyc = dy.astype(cd)
+    # dgrad: dx = R^T C^T dy with R the reflect pad and C the VALID
+    # conv.  Let g = full correlation of dy with the 180-rotated,
+    # IO-swapped kernel (spatial extent (H+2p, W+2p)).  g is NEVER
+    # materialized (its core slice alone is a full HBM pass — measured
+    # perf-neutral vs the zero-border copies it replaced, PERF.md r4):
+    # the SAME correlation IS g's interior written straight into dx,
+    # and the reflect-pad adjoint's mirror folds only need g's p-wide
+    # frame, recomputed from dy's edge strips — the exact dual of the
+    # forward's border fix-ups.
+    w_rot = jnp.flip(wc, (0, 1)).swapaxes(2, 3)  # (k, k, Cout, Cin)
+    dgr = lambda t, pad: lax.conv_general_dilated(
+        t, w_rot, (1, 1), pad, dimension_numbers=_DIMS)
+    dx = dgr(dyc, "SAME")  # g[p:-p, p:-p]
+    if p:
+        flip_h = lambda t: t[:, ::-1]
+        flip_w = lambda t: t[:, :, ::-1]
+        # pad is separable (R = R_h R_w), so the adjoint folds W then H.
+        # W-fold onto interior rows: g[p:-p, :p] and g[p:-p, -p:].
+        # The four strip adds are sequential DUS updates; expressing
+        # them as zero-padded strips + one fused add was MEASURED 9 ms
+        # WORSE at the bench config (with or without an
+        # optimization_barrier, the pad chain re-shapes the dgrad
+        # conv fusions 20% slower) — keep the DUS form.
+        gl = dgr(dyc[:, :, :p], [(p, p), (2 * p, 0)])
+        gr = dgr(dyc[:, :, -p:], [(p, p), (0, 2 * p)])
+        dx = dx.at[:, :, 1:p + 1].add(flip_w(gl))
+        dx = dx.at[:, :, -p - 1:-1].add(flip_w(gr))
+        # H-fold strips: g rows [0:p] / [H+p:H+2p] over the full W+2p
+        # extent, W-folded first so corner cotangents ride along
+        def wfold(gs):
+            core = gs[:, :, p:-p]
+            core = core.at[:, :, 1:p + 1].add(flip_w(gs[:, :, :p]))
+            return core.at[:, :, -p - 1:-1].add(flip_w(gs[:, :, -p:]))
+        gt = wfold(dgr(dyc[:, :p], [(2 * p, 0), (2 * p, 2 * p)]))
+        gb = wfold(dgr(dyc[:, -p:], [(0, 2 * p), (2 * p, 2 * p)]))
+        dx = dx.at[:, 1:p + 1].add(flip_h(gt))
+        dx = dx.at[:, -p - 1:-1].add(flip_h(gb))
+    # wgrad as a conv: batch dim <- Cin, feature dim <- N
+    xp = reflect_pad(x.astype(cd), p)
+    dw = lax.conv_general_dilated(
+        xp, dyc, (1, 1), "VALID",
+        dimension_numbers=("CHWN", "IHWO", "NHWC"))  # (Cin, k, k, Cout)
+    dw = jnp.transpose(dw, (1, 2, 0, 3)).astype(w.dtype)
+    return dw, dx.astype(x.dtype)
+
+
+_conv_reflect_cv.defvjp(_conv_reflect_cv_fwd, _conv_reflect_cv_bwd)
