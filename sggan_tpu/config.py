@@ -118,6 +118,15 @@ class Config:
     # machinery, metric.py:49-69 + model.py:278-305, but leaves the call
     # sites commented out; this wires it for real).
     eval_crf: bool = False
+    # Eval-time output sharpening temperature T: fakes are remapped
+    # fake' = tanh(T * atanh(fake)) before scoring/saving (T=inf is the
+    # np.sign hardening limit).  1.0 disables (default).  QUALITY.md's
+    # frontier sweep: moderate T raises Overall Acc AND Mean IoU
+    # together on calibrated checkpoints (the reference's 3-channel-
+    # argmax metric, metric.py:71-77, rewards decisive channel races);
+    # large T trades per-class coverage for OA.  Applies to
+    # eval/test/serving outputs only — training is unaffected.
+    eval_sharpen: float = 1.0
     # Photometric augmentation — the imgaug seq1 pipeline the reference
     # builds but never applies (utils.py:57-73: blur/contrast/additive
     # noise/brightness).  Realized as PRNG-keyed device-side transforms on
@@ -266,6 +275,10 @@ class Config:
         if self.gen_ema:
             if not (0.0 < self.gen_ema < 1.0):
                 raise ValueError(f"gen_ema={self.gen_ema} must be in (0,1)")
+        if not self.eval_sharpen >= 1.0:  # NaN also fails this
+            raise ValueError(
+                f"eval_sharpen={self.eval_sharpen} must be >= 1.0 "
+                "(1 = off, inf = hard sign saturation)")
         if self.compat_fake_history and (
                 self.mesh_data > 1 or self.mesh_space > 1):
             # the concat-to-10-then-reset history reproduces single-device
@@ -338,6 +351,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--identity_lambda", type=float, default=d.identity_lambda)
     _add_bool(p, "eval_crf", d.eval_crf,
               "apply dense-CRF refinement to eval predictions")
+    p.add_argument("--eval_sharpen", type=float, default=d.eval_sharpen,
+                   help="eval-time output sharpening temperature "
+                        "tanh(T*atanh(fake)); 1 = off, 'inf' = hard "
+                        "saturation (QUALITY.md OA/IoU frontier)")
     p.add_argument("--data_seed", type=int, default=d.data_seed)
     p.add_argument("--compute_dtype", default=d.compute_dtype, choices=["bfloat16", "float32"])
     p.add_argument("--mesh_data", type=int, default=d.mesh_data, help="data-parallel mesh axis size")

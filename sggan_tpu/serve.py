@@ -56,7 +56,13 @@ def export_artifact(cfg: Config, path: str) -> bool:
     def fwd(x):  # x: (1, H, W, 3) float32 in [0, 1]
         if cfg.test_uint8_input:
             x = jnp.round(x * 255.0)
-        return trainer._gen_forward(gen_params, gen_bn, x)
+        y = trainer._gen_forward(gen_params, gen_bn, x)
+        if cfg.eval_sharpen != 1.0:
+            # bake the eval-time sharpening knob into the artifact,
+            # matching what trainer.generate serves (evaluate.sharpen)
+            from .train.evaluate import sharpen
+            y = sharpen(y, cfg.eval_sharpen)
+        return y
 
     h, w = cfg.image_height, cfg.image_width
     spec = jax.ShapeDtypeStruct((1, h, w, 3), jnp.float32)

@@ -25,6 +25,19 @@ from ..utils.images import imsave, merge, save_images
 from ..utils.summary import SummaryWriter
 
 
+def sharpen(y, t: float):
+    """Eval-time output sharpening (--eval_sharpen): remap [-1,1] fakes
+    through tanh(t * atanh(y)); t=inf is the hard sign-saturation limit.
+    Monotone per pixel; shifts borderline channel races toward the
+    dominant channel (QUALITY.md frontier sweep).  Runs on whatever
+    backend `y` lives on."""
+    y = y.astype(jnp.float32)
+    if np.isinf(t):
+        return jnp.sign(y)
+    safe = jnp.clip(y, -1.0 + 1e-6, 1.0 - 1e-6)
+    return jnp.tanh(t * jnp.arctanh(safe))
+
+
 def gen_forward(tr, gen_params, gen_bn, x):
     cfg = tr.cfg
     cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
@@ -90,6 +103,8 @@ def generate(tr, images01: np.ndarray, as_u8: bool = False) -> np.ndarray:
         gp = jax.tree.map(np.asarray, gp)
         gbn = jax.tree.map(np.asarray, gbn)
     y = tr._gen_jit(gp, gbn, jnp.asarray(x))
+    if tr.cfg.eval_sharpen != 1.0:
+        y = sharpen(y, tr.cfg.eval_sharpen)
     if as_u8:
         y = fake_u8(y)
     return np.asarray(y)

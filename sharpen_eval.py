@@ -15,6 +15,12 @@ sharpening shifts borderline channel races toward the dominant class.
 
     python sharpen_eval.py <workdir> [key=value ...]
 
+The production form of this knob is the `--eval_sharpen T` Config
+flag (applied on device in train/evaluate.py::sharpen and baked into
+serving artifacts by `sggan_tpu.serve --export`); this script keeps
+its original host-side numpy application so the QUALITY.md sweep
+stays exactly reproducible (device f32 tanh/atanh differ by ulps).
+
 <workdir> must hold a checkpoint/ written by quality_run.py with the
 same overrides.  Scores under the clean convention ([0,1] inputs,
 honest argmax).  Prints one JSON line per temperature.

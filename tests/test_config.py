@@ -28,6 +28,8 @@ def test_validate_ok():
      "compat_fake_history"),
     (dict(compat_fake_history=True, mesh_space=2, image_height=256),
      "compat_fake_history"),
+    (dict(eval_sharpen=0.5), "eval_sharpen"),
+    (dict(eval_sharpen=float("nan")), "eval_sharpen"),
 ])
 def test_validate_raises(kw, msg):
     with pytest.raises(ValueError, match=msg):
@@ -66,3 +68,10 @@ def test_checkpoint_absolute_dataset_dir(tmp_path):
     assert not os.path.exists(os.path.join(ds_abs, "gen"))
     assert ckpt.latest_epoch(ck, ds_abs) == 0
     assert ckpt.load(state, ck, ds_abs) is not None
+
+
+def test_eval_sharpen_cli_parses_inf():
+    from sggan_tpu.config import parse_args
+    cfg = parse_args(["--eval_sharpen", "inf"])
+    assert np.isinf(cfg.eval_sharpen)
+    assert parse_args([]).eval_sharpen == 1.0

@@ -134,3 +134,21 @@ def test_http_service(tmp_path):
         assert fake.dtype == np.uint8
     finally:
         httpd.shutdown()
+
+
+def test_export_bakes_eval_sharpen(tmp_path):
+    """--eval_sharpen is part of the test-time convention the AOT
+    artifact bakes in: an inf-sharpened artifact emits hard +-1."""
+    from sggan_tpu import serve as srv
+
+    cfg = Config(dataset_dir=str(tmp_path), image_height=32, image_width=32,
+                 ngf=4, ndf=4, segment_class=8, compute_dtype="float32",
+                 use_resnet=True, checkpoint_dir=str(tmp_path / "ckpt"),
+                 eval_sharpen=float("inf"))
+    art = str(tmp_path / "gen_sharp.stablehlo")
+    srv.export_artifact(cfg, art)
+    fn = gexport.load(art)
+    y = np.asarray(fn(np.random.default_rng(2)
+                      .random((1, 32, 32, 3)).astype(np.float32)))
+    assert set(np.unique(y)) <= {-1.0, 0.0, 1.0}
+    assert np.mean(np.abs(y) == 1.0) > 0.99

@@ -321,3 +321,27 @@ def test_generate_device_fast_path_on_spatial_mesh(ds, tmp_path):
     got = t.generate(x_dev, as_u8=True)
     want = t.generate(np.asarray(x_dev), as_u8=True)
     np.testing.assert_array_equal(got, want)
+
+
+def test_eval_sharpen_generate(ds, tmp_path):
+    """--eval_sharpen T: generate() remaps outputs tanh(T*atanh(y));
+    T=1 is a no-op (default path untouched), T=inf the sign limit
+    (QUALITY.md frontier knob, evaluate.sharpen)."""
+    cfg = base_cfg(ds, tmp_path, loss_mode="sggan", use_resnet=True)
+    t = Trainer(cfg)
+    x = np.random.default_rng(0).random((1, 32, 32, 3)).astype(np.float32)
+    base = t.generate(x)
+    try:
+        t.cfg = cfg.replace(eval_sharpen=4.0).validate()
+        got = t.generate(x)
+        safe = np.clip(base, -1 + 1e-6, 1 - 1e-6)
+        np.testing.assert_allclose(got, np.tanh(4.0 * np.arctanh(safe)),
+                                   atol=1e-5)
+        assert not np.allclose(got, base)  # the knob does something
+        t.cfg = cfg.replace(eval_sharpen=float("inf")).validate()
+        np.testing.assert_array_equal(t.generate(x), np.sign(base))
+        # u8 pull composes with sharpening (eval/test/sample path)
+        u8 = t.generate(x, as_u8=True)
+        assert u8.dtype == np.uint8 and set(np.unique(u8)) <= {0, 255}
+    finally:
+        t.cfg = cfg
