@@ -30,7 +30,13 @@ def sharpen(y, t: float):
     through tanh(t * atanh(y)); t=inf is the hard sign-saturation limit.
     Monotone per pixel; shifts borderline channel races toward the
     dominant channel (QUALITY.md frontier sweep).  Runs on whatever
-    backend `y` lives on."""
+    backend `y` lives on.
+
+    t=inf deliberately uses sign (exact-zero pixels map to 0, i.e.
+    mid-gray 127 after u8 conversion, not hard {0,255}): it is the
+    np.sign twin the QUALITY.md sweeps and saturation_eval.py scored,
+    so the shipped knob reproduces those published numbers bit-for-bit
+    (ADVICE r4 reviewed and kept)."""
     y = y.astype(jnp.float32)
     if np.isinf(t):
         return jnp.sign(y)

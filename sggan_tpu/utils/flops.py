@@ -42,23 +42,44 @@ def generator_resnet_fwd(h: int, w: int, ngf: int = 64, in_nc: int = 3,
     return layers
 
 
+def discriminator_dims(h: int, w: int) -> List[Tuple[str, int, int]]:
+    """Per-layer OUTPUT grid of the semantic discriminator (global head).
+
+    Mirrors models/discriminator.py exactly — every conv is 3x3 (reference
+    module.py:284-311): three stride-2 SAME convs, one stride-1 SAME conv,
+    then the VALID tail (_valid_chain): stride-2 3x3 VALID ((n-3)//2+1)
+    while the plane is > 3, and one final stride-1 3x3 VALID (n-2) if the
+    plane is still >= 3.  test_flops.py pins these dims against
+    jax.eval_shape of the real net.
+    """
+    dims = [("h0", h // 2, w // 2), ("h1", h // 4, w // 4),
+            ("h2", h // 8, w // 8), ("h3", h // 8, w // 8)]
+    hh, ww = h // 8, w // 8
+    i = 0
+    while min(hh, ww) > 3:
+        hh, ww = (hh - 3) // 2 + 1, (ww - 3) // 2 + 1
+        dims.append((f"v{i}", hh, ww))
+        i += 1
+    if min(hh, ww) >= 3:
+        hh, ww = hh - 2, ww - 2
+        dims.append((f"v{i}", hh, ww))
+    dims.append(("h4", hh, ww))
+    return dims
+
+
 def discriminator_fwd(h: int, w: int, ndf: int = 64, in_nc: int = 3,
                       n_class: int = 34) -> List[Tuple[str, float]]:
     """Semantic discriminator, global head (models/discriminator.py; ref
-    module.py:272-318)."""
+    module.py:272-318).  All convs are k=3 — the round-4 audit counted
+    them at k=4 with a wrong VALID chain (VERDICT r4), inflating D fwd
+    ~76% and step totals ~8%."""
+    chans = {"h0": (in_nc, ndf), "h1": (ndf, ndf * 2),
+             "h2": (ndf * 2, ndf * 4), "h3": (ndf * 4, ndf * 8),
+             "h4": (ndf * 8, n_class)}
     layers = []
-    layers.append(("h0", conv_flops(h // 2, w // 2, 4, in_nc, ndf)))
-    layers.append(("h1", conv_flops(h // 4, w // 4, 4, ndf, ndf * 2)))
-    layers.append(("h2", conv_flops(h // 8, w // 8, 4, ndf * 2, ndf * 4)))
-    layers.append(("h3", conv_flops(h // 8, w // 8, 4, ndf * 4, ndf * 8)))
-    h3, w3 = h // 8, w // 8
-    h31, w31 = (h3 - 4) // 2 + 1, (w3 - 4) // 2 + 1
-    layers.append(("h31", conv_flops(h31, w31, 4, ndf * 8, ndf * 8)))
-    h32, w32 = (h31 - 4) // 2 + 1, (w31 - 4) // 2 + 1
-    layers.append(("h32", conv_flops(h32, w32, 4, ndf * 8, ndf * 8)))
-    h33, w33 = h32 - 3, w32 - 3
-    layers.append(("h33", conv_flops(h33, w33, 4, ndf * 8, ndf * 8)))
-    layers.append(("h4", conv_flops(h33, w33, 4, ndf * 8, n_class)))
+    for name, oh, ow in discriminator_dims(h, w):
+        cin, cout = chans.get(name, (ndf * 8, ndf * 8))
+        layers.append((name, conv_flops(oh, ow, 3, cin, cout)))
     return layers
 
 

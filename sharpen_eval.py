@@ -65,12 +65,19 @@ def main():
         (k, _parse_override(v))
         for k, v in (a.split("=", 1) for a in sys.argv[2:]))
     os.chdir(work)
+    if overrides.get("eval_sharpen", 1.0) != 1.0:
+        # ADVICE r4: Trainer.generate already applies cfg.eval_sharpen on
+        # device; this script's host-side temperature must stay the ONLY
+        # application or the sweep silently sharpens twice.
+        raise SystemExit("sharpen_eval.py applies its own host-side "
+                         "temperature; eval_sharpen must stay 1.0")
     cfg = Config(dataset_dir="/root/reference/datasets/city",
                  epoch=1, batch_size=1, image_height=128, image_width=128,
                  phase="test", data_seed=19, compute_dtype="bfloat16",
                  decode_cache_mb=8192, loss_mode="sggan", use_resnet=True,
                  sggan_l1_target="seg", test_uint8_input=False,
-                 compat_eval_overflow=False).replace(**overrides).validate()
+                 compat_eval_overflow=False, eval_sharpen=1.0,
+                 ).replace(**overrides).validate()
     tr = SharpenTrainer(cfg)
     restored = ckpt.load(tr.state, cfg.checkpoint_dir, cfg.dataset_dir)
     assert restored is not None, "no checkpoint in " + work
