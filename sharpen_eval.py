@@ -85,10 +85,18 @@ def main():
     for temp in TEMPS:
         tr.temp = temp
         _, score = tr.test_during_train(0, None)
-        rec = {"temperature": "inf" if np.isinf(temp) else temp}
+        t_str = "inf" if np.isinf(temp) else temp
+        rec = {"temperature": t_str}
         rec.update({k: float(v) for k, v in score.items()
                     if not isinstance(v, dict)})
         print("SWEEP " + json.dumps(rec), flush=True)
+        # per-class IoU (VERDICT r4 item 5): only classes present in the
+        # eval set's ground truth or predictions (others are NaN)
+        cls = {str(k): round(float(v), 4)
+               for k, v in score.get("Class IoU", {}).items()
+               if np.isfinite(v)}
+        print("CLSIOU " + json.dumps({"temperature": t_str, "iou": cls}),
+              flush=True)
 
 
 if __name__ == "__main__":
