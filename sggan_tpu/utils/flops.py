@@ -103,3 +103,39 @@ def sggan_train_step(h: int, w: int, batch: int, ngf: int = 64,
         "step_flops_per_image": per_img,
         "step_flops": per_img * batch,
     }
+
+
+def cycle_train_step(h: int, w: int, batch: int, ngf: int = 64,
+                     ndf: int = 64, n_class: int = 34,
+                     identity: bool = True) -> Dict[str, float]:
+    """Exact conv FLOPs of one cycle-mode train step (train/cycle.py;
+    the north star's named objective, reference model.py:114-133).
+    `batch` counts A/B PAIRS (each step consumes batch A-images AND
+    batch B-images — the bench.py img/s convention divides by pairs).
+
+    Gen tape: 6 generator applications (fake_b, fake_a, cyc_a, cyc_b,
+    idt_b, idt_a — cycle.py:117-129), every one on a parameter gradient
+    path, so each costs fwd + dgrad + wgrad = 3x; plus the two frozen-D
+    forwards with input-grad only (2x each).  D tape: per domain, D on
+    [real; pooled fake] (2 samples) fwd+bwd = 2*3x, two domains.
+
+    Structural ratio vs sggan_train_step at the same (h, w):
+    (18 g + 16 d) / (3 g + 8 d) ~= 6.0 at 256x512 — which is why the
+    measured cycle pair/s is ~6x below the sggan img/s headline at the
+    SAME achieved fraction of speed-of-light (PERF.md round 5)."""
+    g_fwd = sum(f for _, f in generator_resnet_fwd(h, w, ngf))
+    d_fwd = sum(f for _, f in discriminator_fwd(h, w, ndf, n_class=n_class))
+    n_g = 6 if identity else 4
+    per_pair = (
+        g_fwd * n_g * 3.0    # all G applications: fwd + dgrad + wgrad
+        + d_fwd * 2.0 * 2.0  # D(fake_a), D(fake_b) in gen tape: fwd+igrad
+        + d_fwd * 4.0 * 3.0  # D tape: [real;fake] per domain, fwd+bwd
+    )
+    return {
+        "gen_fwd_flops": g_fwd,
+        "disc_fwd_flops": d_fwd,
+        "step_flops_per_pair": per_pair,
+        "step_flops": per_pair * batch,
+        "vs_sggan_per_image": per_pair / sggan_train_step(
+            h, w, 1, ngf, ndf, n_class)["step_flops_per_image"],
+    }

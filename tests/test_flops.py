@@ -89,3 +89,32 @@ def test_flops_within_xla_cost_analysis():
     xla = lowered.compile().cost_analysis()["flops"]
     analytic = F.sggan_train_step(h, w, b)["step_flops"]
     assert 0.65 < xla / analytic <= 1.05, (xla / 1e9, analytic / 1e9)
+
+
+def test_cycle_flops_within_xla_cost_analysis():
+    """Same XLA-vs-analytic sanity band for the cycle step model
+    (utils/flops.py::cycle_train_step — PERF.md round 5's structural
+    6x account rests on it)."""
+    from sggan_tpu.config import Config
+    from sggan_tpu.train.cycle import build_cycle_step_fn, init_cycle_state
+
+    h, w, b = 64, 128, 1
+    cfg = Config(image_height=h, image_width=w, batch_size=b,
+                 loss_mode="cycle", use_resnet=True, segment_class=8,
+                 compute_dtype="float32", max_size=2, donate=False)
+    key = jax.random.PRNGKey(0)
+    state = init_cycle_state(cfg, key)
+    step = build_cycle_step_fn(cfg)
+    z = jnp.zeros((b, h, w, 3))
+    mask = jnp.zeros((b, *cfg.mask_hw, 8))
+    batch = {"real_a": z, "seg_a": z, "mask_a": mask,
+             "real_b": z, "seg_b": z, "mask_b": mask}
+    lowered = jax.jit(step).lower(state, batch, jnp.float32(1e-3), key)
+    xla = lowered.compile().cost_analysis()["flops"]
+    analytic = F.cycle_train_step(h, w, b)["step_flops"]
+    assert 0.65 < xla / analytic <= 1.05, (xla / 1e9, analytic / 1e9)
+
+    # the structural cycle-vs-sggan ratio at the flagship resolution —
+    # the number PERF.md cites against the measured 6.06x throughput gap
+    ratio = F.cycle_train_step(256, 512, 1)["vs_sggan_per_image"]
+    assert 5.0 < ratio < 6.5, ratio
