@@ -99,6 +99,17 @@ def run_variant(name: str, ds_root: str, work: str, epochs: int):
         elif name == "fused-aug":
             cfg = Config(batch_size=12, use_augmentation=True,
                          scan_steps=8, **common)
+        elif name == "fused-ds1":
+            # --host_downscale 1: the split resides in HBM AT target
+            # resolution (the reference's own geometry — it host-downscales
+            # before augmenting, utils.py:172-196), so the per-step
+            # 512x1024 -> 256x512 antialiased resize disappears from the
+            # program (preprocess._resize same-size skip)
+            cfg = Config(batch_size=24, use_augmentation=False,
+                         scan_steps=8, host_downscale=1, **common)
+        elif name == "fused-aug-ds1":
+            cfg = Config(batch_size=12, use_augmentation=True,
+                         scan_steps=8, host_downscale=1, **common)
         else:
             assert name == "host"
             cfg = Config(batch_size=24, use_augmentation=False,
