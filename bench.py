@@ -250,6 +250,29 @@ def bench():
         print(f"cycle bench failed: {type(e).__name__}: {e}",
               file=sys.stderr)
 
+    # End-to-end sustained training throughput — the number a user gets
+    # from `python main.py --phase train`, input pipeline included: the
+    # real Trainer over an on-disk PNG dataset (perf_epoch_e2e.py's
+    # fused-aug-ds1 variant, compacted).  Epoch 0 absorbs compiles;
+    # sustained = mean over epochs >= 1.  Stderr metric (PERF.md r5).
+    if on_tpu:
+        try:
+            import contextlib
+
+            import perf_epoch_e2e as e2e
+            with contextlib.redirect_stdout(sys.stderr):
+                e2e.build_dataset("/tmp/bench_e2e/city", 96)
+                rec = e2e.run_variant("fused-aug-ds1", "/tmp/bench_e2e/city",
+                                      "/tmp/bench_e2e_runs", 3)
+            print(f"e2e sustained train (fused-aug-ds1, "
+                  f"{rec['imgs_per_epoch']} imgs/epoch): "
+                  f"{rec['sustained_img_per_s']:.1f} img/s "
+                  f"(epoch rates {rec['epoch_img_per_s']})",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"e2e bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     print(json.dumps({
         "metric": "sggan_train_step_images_per_sec_per_chip_256x512",
         "value": round(best, 2),
