@@ -62,15 +62,35 @@ def _one_hot_mask(cls_u8, mask_hw, n_class):
 
 
 @functools.partial(jax.jit, static_argnames=("out_hw", "mask_hw", "n_class",
-                                             "photometric", "global_b"))
+                                             "photometric", "global_b",
+                                             "aug_layout"))
 def preprocess_train(img_u8, seg_u8, cls_u8, key, aug_flags, *,
                      out_hw, mask_hw, n_class, photometric: bool = False,
-                     global_b: int = 0, sample_rows=None):
+                     global_b: int = 0, sample_rows=None,
+                     aug_layout: str = "dynamic"):
     """img_u8/seg_u8: (B, sh, sw, 3) uint8; cls_u8: (B, sh, sw) uint8;
     aug_flags: (B,) bool — which samples get the imgaug-equivalent warp
     (the reference emits plain+augmented pairs per item, model.py:235-244).
     photometric additionally applies the seq1 analog (augment.py) to the
     photo of aug-flagged samples.
+
+    aug_layout is a STATIC promise about aug_flags that lets the program
+    skip the bilinear warp gather for plain samples (the gather is the
+    preprocess's dominant device cost, PERF.md round 5):
+      * "none": all flags are False — no sample warps;
+      * "half": flags are [False*(B/2), True*(B/2)] — the layout every
+        iterator and the fused paths emit (loader.py:184-193,
+        fused.py:37-43) — only the second half warps;
+      * "dynamic": no promise; per-sample select (identity-parameter
+        warp for plain rows).
+    Equivalence contract (pinned by test_data.py::test_aug_layout_bitexact):
+    "none" is BITWISE identical to dynamic (a bilinear gather at identity
+    parameters resamples at exact integer coordinates, weights exactly
+    {1, 0}); "half" is bitwise on plain rows and the mask, and within
+    2 f32 ulp on warped rows (XLA fuses the coordinate arithmetic
+    differently around the sliced batch — FMA contraction drift), far
+    below every training-path tolerance and invisible after the bf16
+    cast in the step.
 
     Multi-host: per-sample randomness (augment keys, flip draws) is drawn
     for a GLOBAL batch of `global_b` rows and indexed by `sample_rows`
@@ -113,7 +133,23 @@ def preprocess_train(img_u8, seg_u8, cls_u8, key, aug_flags, *,
                                im_out)
         return im_out, sg_out
 
-    img, seg = jax.vmap(one)(img, seg, aug_keys, aug_flags)
+    if aug_layout == "none":
+        pass  # plain rows pass through bit-exactly (see docstring)
+    elif aug_layout == "half":
+        if b % 2:
+            raise ValueError("aug_layout='half' needs an even batch")
+        hb = b // 2
+        # the (cheap, 2x3-matrix) flag select stays TRACED: folding it
+        # re-fuses the coordinate arithmetic and widens the drift vs the
+        # dynamic path well past 1 ulp (see docstring contract)
+        im2, sg2 = jax.vmap(one)(img[hb:], seg[hb:], aug_keys[hb:],
+                                 aug_flags[hb:])
+        img = jnp.concatenate([img[:hb], im2])
+        seg = jnp.concatenate([seg[:hb], sg2])
+    elif aug_layout == "dynamic":
+        img, seg = jax.vmap(one)(img, seg, aug_keys, aug_flags)
+    else:
+        raise ValueError(f"unknown aug_layout {aug_layout!r}")
 
     mask = _one_hot_mask(cls_u8, mask_hw, n_class)
 
@@ -222,8 +258,12 @@ def fake_u8(x):
 
 
 def make_preprocess_train(cfg):
-    """Bind the static config once."""
+    """Bind the static config once.  The aug layout is static per config:
+    every iterator emits [plain, augmented] halves under use_augmentation
+    and all-plain otherwise (loader.py:184-193, 281-290), so the warp
+    gather compiles only for the rows that need it."""
     return functools.partial(
         preprocess_train, out_hw=(cfg.image_height, cfg.image_width),
         mask_hw=cfg.mask_hw, n_class=cfg.segment_class,
-        photometric=cfg.use_photometric)
+        photometric=cfg.use_photometric,
+        aug_layout="half" if cfg.use_augmentation else "none")

@@ -44,7 +44,8 @@ def make_batch_fn(cfg):
         return preprocess_train(
             img, seg, cls, k_pre, flags, out_hw=cfg.image_size,
             mask_hw=cfg.mask_hw, n_class=cfg.segment_class,
-            photometric=cfg.use_photometric)
+            photometric=cfg.use_photometric,
+            aug_layout="half" if cfg.use_augmentation else "none")
 
     return make_batch
 

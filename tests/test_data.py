@@ -403,3 +403,50 @@ def test_preprocess_test_with_masks_false():
     np.testing.assert_array_equal(np.asarray(full[0]), np.asarray(lean[0]))
     np.testing.assert_array_equal(np.asarray(full[1]), np.asarray(lean[1]))
     assert lean[2] is None and lean[3] is None
+
+
+def test_aug_layout_bitexact():
+    """The static aug_layout promises vs the generic dynamic path
+    (preprocess.py docstring contract): "none" is BITWISE identical
+    (skipping the identity-parameter warp is exact — bilinear weights at
+    integer coordinates are exactly {1, 0}); "half" is bitwise on plain
+    rows and the mask and within 2 f32 ulp on warped rows (XLA re-fuses
+    the coordinate arithmetic around the sliced batch)."""
+    rngn = np.random.default_rng(11)
+    img = rngn.integers(0, 255, (6, 48, 64, 3), np.uint8)
+    seg = rngn.integers(0, 255, (6, 48, 64, 3), np.uint8)
+    cls = rngn.integers(0, 8, (6, 48, 64), np.uint8)
+    key = jax.random.PRNGKey(3)
+    kw = dict(out_hw=(32, 32), mask_hw=(4, 4), n_class=8)
+
+    # all-plain vs "none"
+    plain = np.zeros(6, bool)
+    dyn = preprocess.preprocess_train(img, seg, cls, key, plain, **kw)
+    none = preprocess.preprocess_train(img, seg, cls, key, plain,
+                                       aug_layout="none", **kw)
+    for k in dyn:
+        np.testing.assert_array_equal(np.asarray(dyn[k]),
+                                      np.asarray(none[k]), err_msg=k)
+
+    # [plain, augmented] halves vs "half", photometric both off and on
+    half_flags = np.concatenate([np.zeros(3, bool), np.ones(3, bool)])
+    ulp2 = 2 * np.finfo(np.float32).eps / 2  # 2 ulp at magnitude ~1
+    for pho in (False, True):
+        dyn = preprocess.preprocess_train(img, seg, cls, key, half_flags,
+                                          photometric=pho, **kw)
+        half = preprocess.preprocess_train(img, seg, cls, key, half_flags,
+                                           photometric=pho,
+                                           aug_layout="half", **kw)
+        np.testing.assert_array_equal(np.asarray(dyn["mask_a"]),
+                                      np.asarray(half["mask_a"]))
+        for k in ("real_a", "seg_a"):
+            d, h = np.asarray(dyn[k]), np.asarray(half[k])
+            np.testing.assert_array_equal(d[:3], h[:3],
+                                          err_msg=f"plain {k} pho={pho}")
+            assert np.abs(d[3:] - h[3:]).max() <= ulp2, \
+                f"warped {k} pho={pho} drift > 2 ulp"
+
+    # odd batch rejected for "half"
+    with pytest.raises(ValueError):
+        preprocess.preprocess_train(img[:3], seg[:3], cls[:3], key,
+                                    half_flags[:3], aug_layout="half", **kw)
