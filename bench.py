@@ -42,8 +42,12 @@ def bench():
                                  (bpp, sh, sw, 3), 0, 255, jnp.uint8)
         cls = jax.random.randint(jax.random.PRNGKey(1),
                                  (bpp, sh, sw), 0, 34, jnp.uint8)
-        aug = jnp.ones((bpp,), bool)
-        kw = dict(out_hw=(h, w), mask_hw=(h // 8, w // 8), n_class=34)
+        # the production flag layout: [plain | augmented] halves under
+        # --use_augmentation (loader.py/fused.py), compiled with the
+        # static aug_layout="half" promise so only the second half warps
+        aug = jnp.arange(bpp) >= bpp // 2
+        kw = dict(out_hw=(h, w), mask_hw=(h // 8, w // 8), n_class=34,
+                  aug_layout="half" if bpp % 2 == 0 else "dynamic")
         out = preprocess_train(img, img, cls, jax.random.PRNGKey(2), aug,
                                **kw)
         float(out["real_a"].sum())
@@ -53,7 +57,8 @@ def bench():
                                    aug, **kw)
         float(out["real_a"].sum())
         pdt = (_t.perf_counter() - t0) / 10
-        print(f"preprocess 512x1024->{h}x{w}: {bpp / pdt:.1f} img/s "
+        print(f"preprocess 512x1024->{h}x{w} (half-aug layout): "
+              f"{bpp / pdt:.1f} img/s "
               f"({pdt * 1e3:.2f} ms/batch of {bpp})", file=sys.stderr)
     except Exception as e:
         print(f"preprocess bench failed: {type(e).__name__}",
