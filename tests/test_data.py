@@ -410,8 +410,9 @@ def test_aug_layout_bitexact():
     (preprocess.py docstring contract): "none" is BITWISE identical
     (skipping the identity-parameter warp is exact — bilinear weights at
     integer coordinates are exactly {1, 0}); "half" is bitwise on plain
-    rows and the mask and within 2 f32 ulp on warped rows (XLA re-fuses
-    the coordinate arithmetic around the sliced batch)."""
+    rows, the mask, and geometry-only warped rows, and within 8 f32 ulp
+    on photometric-augmented rows (XLA re-fuses the photometric chain
+    around the sliced batch)."""
     rngn = np.random.default_rng(11)
     img = rngn.integers(0, 255, (6, 48, 64, 3), np.uint8)
     seg = rngn.integers(0, 255, (6, 48, 64, 3), np.uint8)
@@ -430,7 +431,7 @@ def test_aug_layout_bitexact():
 
     # [plain, augmented] halves vs "half", photometric both off and on
     half_flags = np.concatenate([np.zeros(3, bool), np.ones(3, bool)])
-    ulp2 = 2 * np.finfo(np.float32).eps / 2  # 2 ulp at magnitude ~1
+    tol = 1e-6  # ~8 ulp at magnitude ~1 (measured 7.5e-7)
     for pho in (False, True):
         dyn = preprocess.preprocess_train(img, seg, cls, key, half_flags,
                                           photometric=pho, **kw)
@@ -443,8 +444,12 @@ def test_aug_layout_bitexact():
             d, h = np.asarray(dyn[k]), np.asarray(half[k])
             np.testing.assert_array_equal(d[:3], h[:3],
                                           err_msg=f"plain {k} pho={pho}")
-            assert np.abs(d[3:] - h[3:]).max() <= ulp2, \
-                f"warped {k} pho={pho} drift > 2 ulp"
+            if pho and k == "real_a":
+                assert np.abs(d[3:] - h[3:]).max() <= tol, \
+                    f"photometric {k} drift > 1e-6"
+            else:
+                np.testing.assert_array_equal(
+                    d[3:], h[3:], err_msg=f"warped {k} pho={pho}")
 
     # odd batch rejected for "half"
     with pytest.raises(ValueError):
