@@ -58,16 +58,19 @@ def random_affine_params(key, h: int, w: int,
     # sampling from x - d*w), then the crop scale/offset.
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     cos, sin = jnp.cos(theta), jnp.sin(theta)
-    # inverse rotation matrix
-    r = jnp.array([[cos, sin], [-sin, cos]])
     # compose: p_in = crop(translate(rotate(p_out)))
     # rotate: q = R (p - c) + c ; translate: q -= (dty*h, dtx*w)
     # crop: q = diag(sy, sx) q + (ty0, tx0)
-    s = jnp.array([[sy, 0.0], [0.0, sx]])
-    m = s @ r
-    const = (s @ (jnp.array([cy, cx]) - r @ jnp.array([cy, cx])
-                  - jnp.array([dty * h, dtx * w]))
-             + jnp.array([ty0, tx0]))
+    # Written as explicit scalar arithmetic, NOT 2x2 matmuls: on TPU a
+    # default-precision dot runs in bf16, rounding these coefficients by
+    # up to ~2e-3 (~1 px of sample-position error at the image edge) —
+    # same bug class as the einsum in affine_warp (PERF.md round 5).
+    rc_y = cos * cy + sin * cx          # (R c)_y
+    rc_x = -sin * cy + cos * cx         # (R c)_x
+    m = jnp.stack([jnp.stack([sy * cos, sy * sin]),
+                   jnp.stack([-sx * sin, sx * cos])])
+    const = jnp.stack([sy * (cy - rc_y - dty * h) + ty0,
+                       sx * (cx - rc_x - dtx * w) + tx0])
     matrix = jnp.concatenate([m, const[:, None]], axis=1)  # (2, 3)
     return AffineParams(matrix=matrix, flip=flip)
 
